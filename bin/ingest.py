@@ -1,0 +1,175 @@
+"""nebula_spark CLI — the spark-submit entrypoint.
+
+Mirrors the reference's `nebula run --source … --destination …` CLI
+(/root/reference/cmd/nebula/main.go:102-145) as subcommands:
+
+  gen     — synthesize a deterministic binlog (and optional base table)
+  ingest  — replay binlog chunks into a LakeTable (one epoch per chunk),
+            exactly-once; safe to re-run / resume
+  stream  — same via Structured Streaming with checkpoint resume
+  show    — table state: row count, snapshot version, lineage offsets
+
+Usage (cluster shape):
+  spark-submit --py-files nebula_spark.zip bin/ingest.py ingest \
+      --table /data/t --binlog /data/binlog
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nebula_spark.session import get_spark
+
+
+def cmd_gen(args) -> dict:
+    from nebula_spark.cdc.binlog import (
+        gen_base_table,
+        gen_binlog,
+        write_binlog_chunks,
+    )
+
+    spark = get_spark("nebula-gen", parallelism=args.cpus)
+    log = gen_binlog(
+        spark,
+        args.events,
+        args.docs,
+        seed=args.seed,
+        hot_frac=args.hot_frac,
+        n_hot=args.n_hot,
+        n_partitions=args.partitions,
+    )
+    chunks = write_binlog_chunks(log, args.out, n_chunks=args.chunks)
+    out = {"binlog": args.out, "chunks": len(chunks), "events": args.events}
+    if args.base:
+        gen_base_table(spark, args.docs, seed=args.seed).write.mode(
+            "overwrite"
+        ).parquet(args.base)
+        out["base"] = args.base
+    return out
+
+
+def _ensure_table(args):
+    from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+    from nebula_spark.lake import LakeTable
+
+    if LakeTable.exists(args.table):
+        return LakeTable.load(args.table)
+    return LakeTable.create(
+        args.table, SEQUENCE_SCHEMA, "doc_id", n_buckets=args.buckets
+    )
+
+
+def cmd_ingest(args) -> dict:
+    from nebula_spark.cdc.apply import apply_changes
+    from nebula_spark.lake.merge import append_into
+
+    spark = get_spark("nebula-ingest", parallelism=args.cpus)
+    table = _ensure_table(args)
+    if args.bootstrap:
+        append_into(
+            spark,
+            table,
+            spark.read.parquet(args.bootstrap),
+            epoch=-1,
+            summary_op="bootstrap",
+        )
+    chunks = sorted(
+        os.path.join(args.binlog, d)
+        for d in os.listdir(args.binlog)
+        if d.startswith("_chunk=")
+    )
+    t0 = time.time()
+    applied = skipped = events = 0
+    for i, chunk in enumerate(chunks):
+        res = apply_changes(spark, table, spark.read.parquet(chunk), epoch=i)
+        if res.merge.skipped:
+            skipped += 1
+        else:
+            applied += 1
+            events += res.merge.events_in
+    dt = time.time() - t0
+    return {
+        "chunks_applied": applied,
+        "chunks_skipped": skipped,
+        "keys_merged": events,
+        "seconds": round(dt, 2),
+        "snapshot_version": table.snapshot().version,
+    }
+
+
+def cmd_stream(args) -> dict:
+    from nebula_spark.streaming.ingest import run_stream
+
+    spark = get_spark("nebula-stream", parallelism=args.cpus)
+    table = _ensure_table(args)
+    return run_stream(
+        spark,
+        table,
+        args.binlog,
+        checkpoint_dir=args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+
+
+def cmd_show(args) -> dict:
+    from nebula_spark.lake import LakeTable
+
+    spark = get_spark("nebula-show", parallelism=args.cpus)
+    table = LakeTable.load(args.table)
+    snap = table.snapshot()
+    df = table.read(spark)
+    return {
+        "rows": df.count(),
+        "snapshot_version": snap.version,
+        "schema_version": snap.schema_version,
+        "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in snap.schema.fields],
+        "n_buckets": snap.raw["n_buckets"],
+        "epochs_applied": sorted(snap.applied.keys(), key=lambda e: int(e)),
+        "lineage_offsets": table.partition_offsets(),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="nebula-spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--docs", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--chunks", type=int, default=8)
+    g.add_argument("--hot-frac", type=float, default=0.0)
+    g.add_argument("--n-hot", type=int, default=1)
+    g.add_argument("--partitions", type=int, default=8)
+    g.add_argument("--base", default=None)
+    g.set_defaults(fn=cmd_gen)
+
+    for name, fn in (("ingest", cmd_ingest), ("stream", cmd_stream)):
+        s = sub.add_parser(name)
+        s.add_argument("--table", required=True)
+        s.add_argument("--binlog", required=True)
+        s.add_argument("--buckets", type=int, default=16)
+        s.add_argument("--bootstrap", default=None)
+        if name == "stream":
+            s.add_argument("--checkpoint", required=True)
+            s.add_argument("--max-files-per-trigger", type=int, default=1)
+        s.set_defaults(fn=fn)
+
+    sh = sub.add_parser("show")
+    sh.add_argument("--table", required=True)
+    sh.set_defaults(fn=cmd_show)
+
+    args = p.parse_args(argv)
+    print(json.dumps(args.fn(args)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""apply_changes — the per-micro-batch pipeline body.
+
+This is the Spark analogue of the reference's pipeline stages
+(readSource → transforms → batch → write,
+/root/reference/internal/pipeline/simple_pipeline.go:173-248) fused
+with its CDC apply/conflict/evolution path (internal/pipeline/cdc.go;
+pkg/connector/evolution/schema_evolution_destination.go:287-366):
+
+    event filter → transform chain → DLQ split → schema evolution
+    → LWW dedup → bucketed MERGE (+ manifest)
+
+It runs identically as a batch call or inside
+``foreachBatch(lambda df, epoch: apply_changes(...))``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from nebula_spark.cdc.filters import EventFilter
+from nebula_spark.cdc.transforms import Transform
+from nebula_spark.evolution import evolve_schema
+from nebula_spark.lake.merge import MergeResult, merge_into
+from nebula_spark.lake.table import LakeTable
+
+# columns that belong to the change-envelope, not the table payload
+ENVELOPE_COLS = ("op", "op_sequence", "ts", "txn_id", "partition_id", "schema_version")
+
+
+@dataclass
+class ApplyResult:
+    merge: MergeResult
+    events_in: int = 0
+    events_filtered: int = 0
+    events_dlq: int = 0
+    schema_changes: int = 0
+
+
+def payload_schema(batch: DataFrame, table: LakeTable) -> T.StructType:
+    keep = [c for c in batch.columns if c not in ENVELOPE_COLS or c == table.key_col]
+    return T.StructType([f for f in batch.schema.fields if f.name in keep])
+
+
+def apply_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: int | None = None,
+    *,
+    event_filter: EventFilter | None = None,
+    transforms: list[Transform] | None = None,
+    evolution_policy: str = "default",
+    dedup_how: str = "agg",
+    dlq_table: LakeTable | None = None,
+    count_inputs: bool = False,
+) -> ApplyResult:
+    """Apply one change batch to the lake table, exactly-once.
+
+    ``count_inputs`` adds two cheap aggregate passes for the filtered/
+    input counters (off by default — metrics come from the merge)."""
+    if epoch is not None and str(epoch) in table.applied_epochs():
+        return ApplyResult(merge=MergeResult(skipped=True, epoch=epoch))
+
+    res = ApplyResult(merge=MergeResult())
+    df = batch
+    if count_inputs:
+        res.events_in = df.count()
+    if event_filter is not None:
+        df = event_filter.apply(df)
+    for t in transforms or ():
+        df = t(df)
+    if count_inputs:
+        kept = df.count()
+        res.events_filtered = res.events_in - kept
+
+    # malformed events → dead-letter table instead of poisoning the merge
+    # (reference DLQ: pkg/cdc/stream.go:857-959)
+    bad = (
+        F.col(table.key_col).isNull()
+        | F.col("op").isNull()
+        | ~F.col("op").isin("INSERT", "UPDATE", "DELETE")
+        | ((F.col("op") != "DELETE") & F.col("tokens").isNull())
+        if "tokens" in df.columns
+        else (F.col(table.key_col).isNull() | F.col("op").isNull())
+    )
+    if dlq_table is not None:
+        from nebula_spark.lake.merge import append_into
+
+        dlq_rows = df.filter(bad).withColumn(
+            "event_key", F.concat_ws(":", F.lit(str(epoch)), F.col("op_sequence"))
+        )
+        append_into(spark, dlq_table, dlq_rows, epoch=epoch, summary_op="dlq")
+    df = df.filter(~bad)
+
+    # schema evolution: batch payload vs table user schema (merge-on-write)
+    from nebula_spark.lake.table import INTERNAL_COLS, INTERNAL_FIELDS
+
+    bad_cols = [c for c in df.columns if c in INTERNAL_COLS]
+    if bad_cols:
+        raise ValueError(f"batch uses reserved columns {bad_cols}")
+    new_user, changes = evolve_schema(
+        table.user_schema, payload_schema(df, table), policy=evolution_policy
+    )
+    if changes:
+        table.commit(
+            new_schema=T.StructType(list(new_user.fields) + INTERNAL_FIELDS),
+            summary={
+                "operation": "evolve-schema",
+                "changes": [c.__dict__ for c in changes],
+                "epoch": epoch,
+            },
+        )
+        res.schema_changes = len(changes)
+
+    res.merge = merge_into(
+        spark, table, df, epoch=epoch, dedup_how=dedup_how
+    )
+    return res

@@ -1,0 +1,343 @@
+"""LakeTable — a minimal snapshot-versioned, bucket-partitioned ACID
+table format on parquet, built for upsert-heavy CDC ingest.
+
+Why not Iceberg: the runtime jar is not on the classpath in this
+environment, and the reference's own Iceberg connector is append-only
+anyway (its ``Upsert`` returns "not implemented",
+/root/reference/pkg/connector/destinations/iceberg/init.go:117-121).
+This layer supplies exactly the subset the CDC engine needs —
+Iceberg-shaped, Spark-first:
+
+- **Snapshots**: every commit writes an immutable JSON snapshot listing
+  the live data files per key-bucket; ``HEAD`` flips atomically via
+  ``os.rename``. Readers always see a consistent version; time travel =
+  read an older snapshot.
+- **Bucket layout**: data files are hash-bucketed on the merge key
+  (``pmod(xxhash64(key), n_buckets)`` — the same idea as Iceberg's
+  ``bucket(N, key)`` partition transform). A change batch touching K
+  buckets rewrites only those K buckets (copy-on-write), so MERGE cost
+  scales with the touched fraction, not table size. At 100 TB you run
+  n_buckets=4096+; tests use 16.
+- **Commit manifest**: the snapshot carries the set of applied
+  ``(checkpoint_epoch, partition_id) -> max_op_sequence`` entries, so
+  the exactly-once bookkeeping is atomic *with* the data commit — a
+  re-delivered micro-batch is detected before any work happens. This is
+  the Spark-native analogue of the reference's idempotent-delivery maps
+  (/root/reference/internal/pipeline/cdc.go:177-195) and checkpoint
+  records (cdc.go:158-167), with the crucial difference that ours
+  survives restarts because it rides the table commit.
+- **Schema versioning**: each snapshot pins a schema; data files
+  remember which schema version wrote them, and reads align every file
+  group to the current schema (missing columns → null, widened types →
+  cast). Mirrors the reference's schema registry + evolution
+  (/root/reference/pkg/schema/evolution.go) on Spark StructTypes.
+
+Concurrency: single-writer per table (the reference serializes sink
+commits the same way); the O_EXCL snapshot create turns a racing second
+writer into a clean failure instead of corruption.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+META_DIR = "_nl"
+HEAD_FILE = "HEAD"
+SNAP_FMT = "snap-%012d.json"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic bucket id for a key — stable across runs/engines
+    (xxhash64 with fixed seed 42), mirroring Iceberg's bucket transform."""
+    return F.pmod(F.xxhash64(F.col(key_col), F.lit(42)), F.lit(n_buckets)).cast("int")
+
+
+# engine-managed columns stored in data files: the op_sequence that
+# produced each row (LWW version) and the tombstone marker. They make
+# the merge order-independent: a stale event can never regress a newer
+# row, and a DELETE leaves a tombstone so late-arriving older events
+# for the key lose. Compaction purges tombstones.
+SEQ_COL = "_seq"
+DELETED_COL = "_deleted"
+INTERNAL_FIELDS = [
+    T.StructField(SEQ_COL, T.LongType(), True),
+    T.StructField(DELETED_COL, T.BooleanType(), True),
+]
+INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
+
+
+@dataclass
+class Snapshot:
+    version: int
+    raw: dict
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.raw["schemas"][str(self.raw["schema_version"])])
+
+    @property
+    def schema_version(self) -> int:
+        return self.raw["schema_version"]
+
+    @property
+    def files(self) -> dict[int, list[dict]]:
+        """bucket -> [{path, schema_version}]"""
+        return {int(b): fs for b, fs in self.raw["files"].items()}
+
+    @property
+    def applied(self) -> dict:
+        """epoch(str) -> {"partitions": {pid: max_op_sequence}, "events": n}"""
+        return self.raw.get("applied", {})
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    # ---------- metadata plumbing ----------
+
+    def _meta(self, *parts: str) -> str:
+        return os.path.join(self.root, META_DIR, *parts)
+
+    def _head_version(self) -> int:
+        with open(self._meta(HEAD_FILE)) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self._head_version() if version is None else version
+        with open(self._meta(SNAP_FMT % v)) as f:
+            return Snapshot(v, json.load(f))
+
+    @property
+    def schema(self) -> T.StructType:
+        """Full storage schema (user columns + internal _seq/_deleted)."""
+        return self.snapshot().schema
+
+    @property
+    def user_schema(self) -> T.StructType:
+        return T.StructType(
+            [f for f in self.schema.fields if f.name not in INTERNAL_COLS]
+        )
+
+    @property
+    def key_col(self) -> str:
+        return self.snapshot().raw["key_col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snapshot().raw["n_buckets"]
+
+    def applied_epochs(self) -> set[str]:
+        return set(self.snapshot().applied.keys())
+
+    def partition_offsets(self) -> dict[str, int]:
+        """Per-source-partition high-water marks (max op_sequence applied),
+        folded over all commits — the lineage offsets of the north rule."""
+        offsets: dict[str, int] = {}
+        for entry in self.snapshot().applied.values():
+            for pid, seq in entry.get("partitions", {}).items():
+                if seq is not None:
+                    offsets[pid] = max(offsets.get(pid, -1), int(seq))
+        return offsets
+
+    # ---------- create / commit ----------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        key_col: str,
+        n_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        if key_col not in schema.fieldNames():
+            raise ValueError(f"key column {key_col!r} not in schema")
+        if any(f.name in INTERNAL_COLS for f in schema.fields):
+            raise ValueError(f"schema may not use reserved columns {INTERNAL_COLS}")
+        schema = T.StructType(list(schema.fields) + INTERNAL_FIELDS)
+        t = cls(root)
+        os.makedirs(t._meta(), exist_ok=False)
+        os.makedirs(os.path.join(t.root, "data"), exist_ok=True)
+        snap = {
+            "format_version": 1,
+            "version": 0,
+            "parent": None,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "schema_version": 1,
+            "schemas": {"1": schema.jsonValue()},
+            "files": {},
+            "applied": {},
+            "properties": properties or {},
+            "summary": {"operation": "create"},
+            "committed_at": time.time(),
+        }
+        t._write_snapshot(0, snap)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "LakeTable":
+        t = cls(root)
+        if not os.path.exists(t._meta(HEAD_FILE)):
+            raise FileNotFoundError(f"not a LakeTable: {root}")
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, META_DIR, HEAD_FILE))
+
+    def _write_snapshot(self, version: int, snap: dict) -> None:
+        path = self._meta(SNAP_FMT % version)
+        # O_EXCL: a concurrent committer of the same version fails loudly
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        # atomic HEAD flip
+        tmp = tempfile.NamedTemporaryFile(
+            "w", dir=self._meta(), prefix=".head-", delete=False
+        )
+        tmp.write(str(version))
+        tmp.flush()
+        os.fsync(tmp.fileno())
+        tmp.close()
+        os.rename(tmp.name, self._meta(HEAD_FILE))
+
+    def commit(
+        self,
+        *,
+        new_files_by_bucket: dict[int, list[str]] | None = None,
+        replaced_buckets: Iterable[int] = (),
+        new_schema: T.StructType | None = None,
+        applied_update: dict | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Produce snapshot v+1: keep files of untouched buckets, swap in
+        new files for ``replaced_buckets``, optionally bump the schema,
+        and merge ``applied_update`` into the commit manifest. Atomic."""
+        cur = self.snapshot()
+        raw = json.loads(json.dumps(cur.raw))  # deep copy
+        version = cur.version + 1
+        raw["version"] = version
+        raw["parent"] = cur.version
+        if new_schema is not None and new_schema.jsonValue() != cur.schema.jsonValue():
+            raw["schema_version"] = cur.schema_version + 1
+            raw["schemas"][str(raw["schema_version"])] = new_schema.jsonValue()
+        sv = raw["schema_version"]
+        files = {int(b): fs for b, fs in raw["files"].items()}
+        for b in replaced_buckets:
+            files.pop(int(b), None)
+        for b, paths in (new_files_by_bucket or {}).items():
+            entries = [{"path": p, "schema_version": sv} for p in sorted(paths)]
+            files.setdefault(int(b), [])
+            files[int(b)] = files[int(b)] + entries
+        raw["files"] = {str(b): fs for b, fs in sorted(files.items())}
+        if applied_update:
+            raw.setdefault("applied", {}).update(applied_update)
+        raw["summary"] = summary or {}
+        raw["committed_at"] = time.time()
+        self._write_snapshot(version, raw)
+        return Snapshot(version, raw)
+
+    # ---------- data path ----------
+
+    def new_commit_dir(self) -> str:
+        """A unique directory for this commit's data files (immutable once
+        written; unreferenced dirs from failed commits are inert)."""
+        d = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
+        os.makedirs(d, exist_ok=False)
+        return d
+
+    @staticmethod
+    def list_written_files(commit_dir: str) -> dict[int, list[str]]:
+        """Collect parquet files written by ``partitionBy('_bucket')``
+        under ``commit_dir`` → {bucket: [abs paths]}."""
+        out: dict[int, list[str]] = {}
+        for entry in sorted(os.listdir(commit_dir)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            d = os.path.join(commit_dir, entry)
+            paths = [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+            if paths:
+                out[b] = paths
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: Iterable[int] | None = None,
+        version: int | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Scan the table (optionally bucket-pruned / time-travelled),
+        aligning every file group to the snapshot's current schema.
+
+        Files are grouped by the schema version that wrote them; each
+        group is read with its own (exact) schema then cast/padded to
+        the current one — this is how int→long widening and added
+        columns read correctly without rewriting history. The union is
+        a metadata-only plan node; Spark still scans in one stage.
+        """
+        snap = self.snapshot(version)
+        cur_schema = snap.schema
+        want = None if buckets is None else {int(b) for b in buckets}
+        by_sv: dict[int, list[str]] = {}
+        for b, entries in snap.files.items():
+            if want is not None and b not in want:
+                continue
+            for e in entries:
+                by_sv.setdefault(int(e["schema_version"]), []).append(e["path"])
+        if not by_sv:
+            out = spark.createDataFrame([], cur_schema)
+        else:
+            parts: list[DataFrame] = []
+            for sv, paths in sorted(by_sv.items()):
+                file_schema = T.StructType.fromJson(snap.raw["schemas"][str(sv)])
+                df = spark.read.schema(file_schema).parquet(*paths)
+                parts.append(align_to_schema(df, cur_schema))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_internal:
+            # live rows only, user columns only
+            if DELETED_COL in out.columns:
+                out = out.filter(
+                    F.col(DELETED_COL).isNull() | ~F.col(DELETED_COL)
+                ).drop(*INTERNAL_COLS)
+        return out
+
+    def bucket_of(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("_bucket", bucket_expr(self.key_col, self.n_buckets))
+
+
+def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``target``: missing columns become typed
+    nulls, present columns are cast (covers int→long / float→double
+    widening). Column-name matching is exact (the engine controls both
+    sides)."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            if have[f.name].dataType == f.dataType:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

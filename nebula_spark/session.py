@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the conf set is chosen so the same code
+is correct on a multi-executor cluster: AQE on (runtime coalesce, skew
+join splitting), shuffle partitions sized to the parallelism level,
+Arrow enabled for the few vectorized-UDF paths, UTC session timezone so
+results compare bit-for-bit with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "nebula_spark",
+    parallelism: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``parallelism`` sets both ``local[N]`` and the shuffle-partition
+    count — on a real cluster the master URL comes from spark-submit
+    and only the shuffle sizing applies.
+    """
+    n = parallelism or default_parallelism()
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
+        .appName(app_name)
+        # shuffle partitions ~ cores for local; AQE coalesces further
+        .config("spark.sql.shuffle.partitions", str(max(n, 4)))
+        .config("spark.default.parallelism", str(max(n, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # small-batch MERGE sides should broadcast
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,126 @@
+"""Replay-to-final-state equivalence — the flagship correctness test
+(SURVEY §5): deterministic synthetic binlog → engine replay → final
+LakeTable state must match the DuckDB oracle with per-row token-array
+equality (the BASELINE.json per-row invariant)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from nebula_spark.cdc import gen_binlog, gen_base_table, lww_dedup
+from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA, write_binlog_chunks
+from nebula_spark.lake import LakeTable, merge_into, append_into
+
+from tests.oracle import replay_final_state, assert_equivalent
+
+
+def test_dedup_strategies_agree(spark):
+    log = gen_binlog(spark, 5000, 300, seed=7, hot_frac=0.3, n_hot=2)
+    frames = {
+        how: lww_dedup(log, how=how).orderBy("doc_id").collect()
+        for how in ("window", "agg", "salted")
+    }
+    assert frames["window"] == frames["agg"] == frames["salted"]
+    # one row per key, and it's the max op_sequence
+    agg = lww_dedup(log, how="agg")
+    assert agg.count() == agg.select("doc_id").distinct().count()
+    mx = log.groupBy("doc_id").agg(F.max("op_sequence").alias("m"))
+    joined = agg.join(mx, "doc_id").filter(F.col("op_sequence") != F.col("m"))
+    assert joined.count() == 0
+
+
+def test_single_batch_replay_matches_oracle(spark, tmp_path):
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 10_000, 500, seed=42)
+    write_binlog_chunks(log, binlog_dir, n_chunks=4)
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=16)
+    batch = spark.read.parquet(binlog_dir)
+    res = merge_into(spark, table, batch, epoch=0)
+    assert not res.skipped and res.buckets_touched > 0
+
+    final = table.read(spark)
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(final, oracle)
+
+
+def test_multi_batch_replay_matches_oracle(spark, tmp_path):
+    """Sequential micro-batches (the streaming shape) must converge to
+    the same state as one-shot replay — including I→D→I resurrection
+    and cross-batch updates."""
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 20_000, 400, seed=11, hot_frac=0.4, n_hot=3)
+    chunks = write_binlog_chunks(log, binlog_dir, n_chunks=5)
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=8)
+    for i, chunk in enumerate(chunks):
+        merge_into(spark, table, spark.read.parquet(chunk), epoch=i)
+
+    final = table.read(spark)
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(final, oracle)
+    # lineage offsets folded over all epochs cover every source partition
+    offs = table.partition_offsets()
+    assert len(offs) == 8 and all(v >= 0 for v in offs.values())
+
+
+def test_out_of_order_batches_converge(spark, tmp_path):
+    """The merge is sequence-aware (LWW by op_sequence with tombstones),
+    so batches applied in ANY order converge to the same final state —
+    Spark's file source gives no cross-file ordering guarantee, and
+    neither does a multi-executor cluster."""
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 12_000, 250, seed=23, hot_frac=0.3, n_hot=2)
+    chunks = write_binlog_chunks(log, binlog_dir, n_chunks=6)
+
+    order = [0, 4, 2, 5, 1, 3]  # the order the file source actually picked once
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=8)
+    for i, ci in enumerate(order):
+        merge_into(spark, table, spark.read.parquet(chunks[ci]), epoch=i)
+
+    final = table.read(spark)
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(final, oracle)
+
+
+def test_bootstrap_then_replay(spark, tmp_path):
+    """Snapshot mode 'initial' (internal/pipeline/cdc.go:49-50): load a
+    base snapshot, then apply the change log on top."""
+    base = gen_base_table(spark, 300, seed=5)
+    base_path = str(tmp_path / "base.parquet")
+    base.coalesce(1).write.parquet(base_path)
+
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 5_000, 300, seed=5)
+    write_binlog_chunks(log, binlog_dir, n_chunks=2)
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=8)
+    append_into(spark, table, spark.read.parquet(base_path), epoch=-1, summary_op="bootstrap")
+    merge_into(spark, table, spark.read.parquet(binlog_dir), epoch=0)
+
+    final = table.read(spark)
+    oracle = replay_final_state(
+        os.path.join(binlog_dir, "*", "*.parquet"),
+        base_parquet=os.path.join(base_path, "*.parquet"),
+    )
+    assert_equivalent(final, oracle)
+
+
+def test_exactly_once_redelivery(spark, tmp_path):
+    """Re-delivering an already-committed epoch must be a no-op
+    (manifest idempotence, FIXTURES.md §4)."""
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    log = gen_binlog(spark, 2_000, 100, seed=3)
+    r1 = merge_into(spark, table, log, epoch=0)
+    v1 = table.snapshot().version
+    state1 = sorted(table.read(spark).collect())
+
+    r2 = merge_into(spark, table, log, epoch=0)  # redelivery
+    assert r2.skipped
+    assert table.snapshot().version == v1
+    assert sorted(table.read(spark).collect()) == state1
+
+    # a *new* epoch with overlapping content is idempotent by key
+    r3 = merge_into(spark, table, log, epoch=1)
+    assert not r3.skipped
+    assert sorted(table.read(spark).collect()) == state1
