@@ -1,38 +1,344 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator from SURVEY.md §2 (or a
+training-data-pipeline extra) through the nebula_spark engine; the
+matching ``oracle_sql()`` is the ANSI-SQL twin DuckDB runs on the same
+parquet. Numeric outputs avoid engine-dependent float/timestamp
+formatting: money → bigint cents, timestamps → unix micros, scores →
+fixed-point rounding.
+
+The CDC queries derive a changelog from the `events` table:
+op_sequence = event_id (total order), op = signup→INSERT /
+purchase→DELETE / else UPDATE, key = user_id.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+def _op_expr():
+    return (
+        F.when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "purchase", "DELETE")
+        .otherwise("UPDATE")
+    )
+
+
+_OP_SQL = (
+    "CASE WHEN event_type='signup' THEN 'INSERT' "
+    "WHEN event_type='purchase' THEN 'DELETE' ELSE 'UPDATE' END"
+)
+_STOPWORDS_SQL = "['the','and','of','to','in','is','a','for','with','data']"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CDC change feed (SURVEY §1.2 event model)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("op_sequence"),
+        _op_expr().alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        (F.round(F.col("value") * 100)).cast("long").alias("value_cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+_CHANGELOG_SQL = f"""
+SELECT event_id AS op_sequence, {_OP_SQL} AS op, user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       epoch_us(ts) AS ts_us
+FROM events
+"""
+
+_LWW_SQL = f"""
+SELECT op_sequence, op, user_id, event_type, value_cents, ts_us FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY op_sequence DESC) rn
+  FROM ({_CHANGELOG_SQL})
+) WHERE rn = 1
+"""
+
+
+def _lww(how: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from nebula_spark.cdc.dedup import lww_dedup
+
+        return lww_dedup(_changelog(spark, sf_dir), key="user_id", how=how)
+
+    return q
+
+
+def _replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.cdc.dedup import lww_dedup
+
+    latest = lww_dedup(_changelog(spark, sf_dir), key="user_id", how="agg")
+    return latest.filter(F.col("op") != "DELETE").select(
+        "user_id", "value_cents", "ts_us"
+    )
+
+
+def _event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.cdc.filters import EventFilter
+
+    ef = EventFilter(
+        operations=["INSERT", "UPDATE"],
+        field_predicates=[
+            ("value_cents", "gte", 500),
+            ("event_type", "like", "%i%"),
+            ("user_id", "lt", 100),
+        ],
+    )
+    return ef.apply(_changelog(spark, sf_dir)).select(
+        "op_sequence", "op", "user_id", "event_type", "value_cents"
+    )
+
+
+def _transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.cdc.transforms import (
+        chain,
+        column_projection,
+        field_mapper,
+        filter_transform,
+        type_converter,
+    )
+
+    t = chain(
+        filter_transform(F.col("l_quantity") > 25),
+        field_mapper({"l_orderkey": "order_id", "l_extendedprice": "price"}),
+        type_converter({"l_quantity": "int"}),
+        column_projection(whitelist=["order_id", "l_linenumber", "l_quantity", "price"]),
+    )
+    out = t(_t(spark, sf_dir, "lineitem"))
+    return out.select(
+        "order_id",
+        "l_linenumber",
+        "l_quantity",
+        (F.round(F.col("price") * 100)).cast("long").alias("price_cents"),
+    )
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.dedupe import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.text import token_count, fingerprint, lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        lang_id("text").alias("lang_guess"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def _agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.similarity import brute_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "rank", "score"
+    )
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=3)
+
+
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.dedupe import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), n_hashes=4, band_size=2
+    )
+
+
+def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.dedupe import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, n_hashes=4, band_size=2)
+    return ngram_jaccard(pairs, docs)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.dedupe import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC last-writer-wins replay to final state on sf0.001."""
+    return _replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_dedup_window": _lww("window"),
+        "cdc_lww_dedup_agg": _lww("agg"),
+        "cdc_lww_dedup_salted": _lww("salted"),
+        "cdc_replay_final_state": _replay_final_state,
+        "cdc_event_filter": _event_filter,
+        "transform_chain": _transform_chain,
+        "dedup_exact": _dedup_exact,
+        "text_stats": _text_stats,
+        "agg_events_by_type": _agg_events,
+        "ann_cosine_topk": _ann_brute,
+        "ann_lsh_topk": _ann_lsh,
+        "dedup_minhash_lsh": _minhash,
+        "dedup_ngram_jaccard": _jaccard,
+        "dedup_simhash": _simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lww = _LWW_SQL
+    return {
+        "cdc_lww_dedup_window": lww,
+        "cdc_lww_dedup_agg": lww,
+        "cdc_lww_dedup_salted": lww,
+        "cdc_replay_final_state": f"""
+            SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
+        """,
+        "cdc_event_filter": f"""
+            SELECT op_sequence, op, user_id, event_type, value_cents
+            FROM ({_CHANGELOG_SQL})
+            WHERE op IN ('INSERT','UPDATE') AND value_cents >= 500
+              AND event_type LIKE '%i%' AND user_id < 100
+        """,
+        "transform_chain": """
+            SELECT l_orderkey AS order_id, l_linenumber,
+                   CAST(l_quantity AS INT) AS l_quantity,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+            FROM lineitem WHERE l_quantity > 25
+        """,
+        "dedup_exact": r"""
+            SELECT min(doc_id) AS doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 2
+        """,
+        "text_stats": rf"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                   CASE WHEN len(list_intersect(
+                        list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+                        {_STOPWORDS_SQL})) >= 2
+                        THEN 'en' ELSE 'unk' END AS lang_guess,
+                   md5(array_to_string(
+                        regexp_split_to_array(lower(trim(text)), '\s+')[1:8], ' ')) AS fp
+            FROM documents
+        """,
+        "agg_events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "ann_cosine_topk": """
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.emb, c.emb) /
+                           (sqrt(list_dot_product(q.emb, q.emb)) *
+                            sqrt(list_dot_product(c.emb, c.emb))), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.emb, c.emb) /
+                           (sqrt(list_dot_product(q.emb, q.emb)) *
+                            sqrt(list_dot_product(c.emb, c.emb))), 6) DESC,
+                           c.vec_id ASC) AS rank
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 10) q,
+                   (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) c
+              WHERE q.vec_id <> c.vec_id
+            ) WHERE rank <= 3
+        """,
+        "dedup_minhash_lsh": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+              FROM ws
+            ), sig AS (
+              SELECT doc_id,
+                     [list_min(list_transform(s, x -> md5(x || '#0'))),
+                      list_min(list_transform(s, x -> md5(x || '#1'))),
+                      list_min(list_transform(s, x -> md5(x || '#2'))),
+                      list_min(list_transform(s, x -> md5(x || '#3')))] AS g
+              FROM sh
+            ), bands AS (
+              SELECT doc_id, 0 AS band, g[1] || '|' || g[2] AS key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, g[3] || '|' || g[4] AS key FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, key)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+              FROM ws
+            ), sig AS (
+              SELECT doc_id,
+                     [list_min(list_transform(s, x -> md5(x || '#0'))),
+                      list_min(list_transform(s, x -> md5(x || '#1'))),
+                      list_min(list_transform(s, x -> md5(x || '#2'))),
+                      list_min(list_transform(s, x -> md5(x || '#3')))] AS g
+              FROM sh
+            ), bands AS (
+              SELECT doc_id, 0 AS band, g[1] || '|' || g[2] AS key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, g[3] || '|' || g[4] AS key FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, key)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+                         len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+            FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
+                       JOIN sh sb ON pairs.doc_b = sb.doc_id
+        """,
+        # dedup_simhash / ann_lsh_topk use xxhash64 (no DuckDB twin)
+        # → rows-only check.
+    }

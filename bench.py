@@ -1,0 +1,139 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: CDC replay throughput (change-events/sec applied,
+replay-to-final-state) on a deterministic synthetic binlog sized to the
+scale factor, via the full engine path (dedup → sequence-aware merge →
+snapshot commit). Plus per-query wall times for the other headline
+operators at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_EVENTS / BENCH_DOCS / BENCH_BATCHES override the replay size.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+scripts/scaling_bench.py → BENCH/BASELINE.md; this file reports the
+single-parallelism numbers the driver records per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
+    from nebula_spark.cdc.apply import apply_changes
+    from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA, gen_binlog, write_binlog_chunks
+    from nebula_spark.lake.table import LakeTable
+
+    n_events = int(os.environ.get("BENCH_EVENTS", int(5_000_000 * sf)))
+    n_docs = max(int(os.environ.get("BENCH_DOCS", int(500_000 * sf))), 100)
+    n_batches = int(os.environ.get("BENCH_BATCHES", 4))
+
+    binlog_dir = os.path.join(workdir, f"binlog_{n_events}_{n_batches}")
+    if not os.path.exists(os.path.join(binlog_dir, "_SUCCESS")):
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        log = gen_binlog(
+            spark, n_events, n_docs, seed=42, hot_frac=0.2, n_hot=4, n_partitions=cpus
+        )
+        write_binlog_chunks(log, binlog_dir, n_chunks=n_batches)
+    chunks = sorted(
+        os.path.join(binlog_dir, d)
+        for d in os.listdir(binlog_dir)
+        if d.startswith("_chunk=")
+    )
+
+    table_dir = os.path.join(workdir, "table")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    table = LakeTable.create(
+        table_dir, SEQUENCE_SCHEMA, "doc_id", n_buckets=max(cpus, 16)
+    )
+    t0 = time.time()
+    applied = 0
+    for i, chunk in enumerate(chunks):
+        res = apply_changes(spark, table, spark.read.parquet(chunk), epoch=i)
+        applied += res.merge.events_in
+    dt = time.time() - t0
+    return {
+        "events": n_events,
+        "batches": n_batches,
+        "seconds": round(dt, 2),
+        "events_per_sec": round(n_events / dt, 1),
+        "final_rows": None,  # avoid an extra scan in the timed path
+    }
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+
+    names = [
+        "cdc_lww_dedup_agg",
+        "cdc_replay_final_state",
+        "cdc_event_filter",
+        "transform_chain",
+        "dedup_exact",
+        "text_stats",
+        "agg_events_by_type",
+        "ann_cosine_topk",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    ]
+    qs = entry.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from nebula_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    workdir = os.environ.get("BENCH_WORKDIR", f"/tmp/nebula_bench_sf{sf}")
+    os.makedirs(workdir, exist_ok=True)
+
+    spark = get_spark("nebula-bench", parallelism=cpus)
+
+    queries = run_queries(spark, sf_dir)
+    cdc = run_cdc_replay(spark, sf, cpus, workdir)
+    queries["cdc_replay_pipeline"] = cdc["seconds"]
+    total = round(sum(queries.values()), 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "cdc_replay": cdc,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

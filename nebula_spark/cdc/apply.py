@@ -15,6 +15,7 @@ It runs identically as a batch call or inside
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -53,6 +54,7 @@ def apply_changes(
     transforms: list[Transform] | None = None,
     evolution_policy: str = "default",
     dedup_how: str = "agg",
+    resolve_strategy: str | None = None,
     dlq_table: LakeTable | None = None,
     count_inputs: bool = False,
 ) -> ApplyResult:
@@ -115,6 +117,12 @@ def apply_changes(
         res.schema_changes = len(changes)
 
     res.merge = merge_into(
-        spark, table, df, epoch=epoch, dedup_how=dedup_how
+        spark,
+        table,
+        df,
+        epoch=epoch,
+        dedup_how=dedup_how,
+        resolve_strategy=resolve_strategy
+        or os.environ.get("NEBULA_RESOLVE_STRATEGY", "auto"),
     )
     return res

@@ -1,0 +1,213 @@
+"""Corpus deduplication operators — exact, MinHash/LSH, SimHash,
+n-gram Jaccard — as DataFrame compositions (no UDFs; everything
+shuffles once on the dedup key it constructs).
+
+Scale notes (the point of each design):
+- exact: groupBy on a 128-bit content hash — partial agg, one shuffle.
+- minhash-LSH: per-band min-of-hashes becomes the shuffle key; docs
+  collide only within bands, so the candidate join is an equi-join on
+  the band key (no O(n²) cross join).
+- simhash: 64 weighted-bit majority over word hashes; hamming-near
+  pairs found by banding the simhash into 4×16-bit keys (any equal
+  16-bit band → candidate), again an equi-join.
+- ngram-jaccard: verification metric on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from nebula_spark.functions.text import words
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition to the session's parallelism — small
+    single-file corpora otherwise run CPU-heavy expressions in ONE task
+    (a 5k-row parquet is one input split)."""
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(n)
+
+
+def content_hash(text: Column | str) -> Column:
+    """Normalization + md5 — exact-dup key (same expression in DuckDB)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical (normalized) text."""
+    return (
+        df.withColumn("_h", content_hash(text_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, F.col("_h").alias("content_hash"), "dup_count")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles as strings (distinct)."""
+    w = words(F.lower(F.col(text) if isinstance(text, str) else text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
+    """MinHash signature: per hash family i, min(md5(shingle || i)).
+    md5 exists verbatim in DuckDB, so the oracle reproduces signatures
+    exactly. Returns array<string> of n_hashes minima."""
+    # single pass over the shingle array: fold a running elementwise
+    # minimum of the n_hashes md5 values per shingle ('~' > 'f' is the
+    # +inf sentinel). One O(|shingles|) traversal instead of n_hashes.
+    inf = F.array(*[F.lit("~") for _ in range(n_hashes)])
+    return F.aggregate(
+        shingles,
+        inf,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.md5(F.concat(s, F.lit(f"#{i}"))) for i in range(n_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    bands = n_hashes / band_size; docs sharing any full band collide.
+    The heavy lifting is ONE explode + ONE equi-join on the band key —
+    this is the shape that survives 10^9 documents (band keys
+    hash-partition evenly; no cross join anywhere)."""
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes)
+    n_bands = n_hashes // band_size
+    banded = spread(df).select(F.col(id_col), sig.alias("_sig")).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws("|", F.slice(F.col("_sig"), b * band_size + 1, band_size)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the self-join would recompute the (expensive) signatures for each
+    # side — materialize them once
+    banded = banded.persist()
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col="text", id_col="doc_id", n=3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    sh = spread(docs).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    return (
+        df_pairs.join(a, df_pairs.doc_a == F.col(f"sa.{id_col}"))
+        .join(b, df_pairs.doc_b == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: majority vote per bit over word
+    hashes (xxhash64). Shaped as explode → hash-aggregate with 64
+    codegen'd SUMs (partial agg map-side; one shuffle keyed by doc) —
+    the scan-shaped plan that survives 10^9 documents, instead of 64
+    array traversals per row."""
+    c = F.col(text_col)
+    df = spread(df)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(F.lower(c)))).alias("_w"),
+    ).select(F.col(id_col), F.xxhash64("_w").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        out = out + F.shiftleft((F.col(f"_b{j}") > 0).cast("long"), j)
+    return agg.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash"
+) -> DataFrame:
+    """Hamming-near candidates: band the 64-bit simhash into 4×16-bit
+    keys; any equal band → candidate pair (equi-join, no cross join).
+    Guarantees recall for hamming distance ≤ 3 (pigeonhole)."""
+    bands = sim.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )

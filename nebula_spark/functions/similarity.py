@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine(a, b)`` — pure Column expression (zip_with + aggregate),
+  JVM-side, no UDF.
+- ``brute_topk`` — exact top-k neighbors: a broadcast of the (small)
+  query set against the corpus + per-query window. The corpus side
+  never shuffles; this is the correctness baseline.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH buckets
+  (sign-bit sketch) so candidates meet in an equi-join on the bucket
+  key; top-k within candidates. At 10^9 vectors brute force is a
+  broadcast-nested-loop you cannot afford; bucketed cosine is the same
+  join shape as MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` must be small (it is
+    broadcast); corpus scan stays partition-local."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
+    """Sign-bit LSH bucket id: bit i = sign(<v, h_i>) where h_i is a
+    deterministic pseudo-random hyperplane derived from (seed, i, j)
+    via xxhash64 — reproducible on any engine, no stored model."""
+    bits = []
+    for i in range(n_planes):
+        # h_i[j] in {-1, +1} from a hash of (i, j)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x.cast("double")
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(seed + i), j), F.lit(2)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append((proj > 0).cast("long"))
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket (equi-join),
+    then exact cosine + window. Recall grows with fewer planes /
+    multiple tables; this single-table variant is the skeleton."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
+    )
+    scored = (
+        cb.join(qb, "_bkt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

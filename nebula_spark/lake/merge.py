@@ -35,6 +35,7 @@ exactly-once rather than at-least-once.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -77,6 +78,7 @@ def _resolve(
     affected: list[int],
     op_col: str,
     seq_col: str,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Order-independent LWW resolution of batch vs target.
 
@@ -93,6 +95,21 @@ def _resolve(
     key = table.key_col
     b = _as_table_rows(deduped, table, op_col, seq_col)
     target = table.read(spark, buckets=affected, include_internal=True)
+
+    if strategy == "unionagg":
+        # one hash aggregation over (target ∪ batch): per key keep the
+        # row with max _seq — identical LWW semantics, single shuffle,
+        # partial agg combines map-side. Fewer stages than the join
+        # plan; preferable when the touched buckets are comparable in
+        # size to the batch (e.g. bulk replay). The join plan wins when
+        # the table dwarfs the batch (target never shuffles there).
+        everything = target.unionByName(b)
+        packed = F.struct(
+            F.col(SEQ_COL), *[F.col(c) for c in b.columns if c != SEQ_COL and c != key]
+        )
+        reduced = everything.groupBy(key).agg(F.max(packed).alias("_e"))
+        resolved = reduced.select(F.col(key), F.col("_e.*")).select(*b.columns)
+        return table.bucket_of(resolved)
 
     t_a, b_a = target.alias("t"), b.alias("b")
     joined = t_a.join(F.broadcast(b_a), F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
@@ -173,6 +190,7 @@ def merge_into(
     partition_col: str | None = "partition_id",
     dedup_how: str = "agg",
     already_deduped: bool = False,
+    resolve_strategy: str = "auto",
 ) -> MergeResult:
     """Apply one change batch. ``batch`` must contain the table columns
     plus ``op_col``/``seq_col`` (and optionally ``partition_col`` for
@@ -191,26 +209,30 @@ def merge_into(
     deduped = batch if already_deduped else lww_dedup(batch, key=key, seq=seq_col, how=dedup_how)
     deduped = table.bucket_of(deduped).persist()
     try:
-        # one pass over the (small) deduped batch for all driver-side facts
-        stats = deduped.groupBy("_bucket").agg(
+        # ONE pass over the (small) deduped batch for all driver-side
+        # facts: touched buckets, counters, and per-source-partition
+        # high-water marks. Offsets are the max *surviving* op_sequence
+        # per partition — a safe under-estimate (resume replays a few
+        # already-applied events; the manifest makes that a no-op).
+        grain = ["_bucket"] + (
+            [partition_col] if partition_col and partition_col in deduped.columns else []
+        )
+        stats = deduped.groupBy(*grain).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col(op_col) == DELETE_OP).cast("long")).alias("n_del"),
+            F.max(seq_col).alias("mx"),
         ).collect()
-        affected = sorted(int(r["_bucket"]) for r in stats)
+        affected = sorted({int(r["_bucket"]) for r in stats})
         res.keys_touched = int(sum(r["n"] for r in stats))
         res.rows_deleted = int(sum(r["n_del"] for r in stats))
         res.rows_upserted = res.keys_touched - res.rows_deleted
         res.buckets_touched = len(affected)
         res.events_in = res.keys_touched  # post-dedup; caller may overwrite
 
-        if partition_col and partition_col in batch.columns:
-            # lineage: per source partition, high-water op_sequence
-            res.partitions = {
-                str(r[partition_col]): int(r["mx"])
-                for r in batch.groupBy(partition_col)
-                .agg(F.max(seq_col).alias("mx"))
-                .collect()
-            }
+        if len(grain) > 1:
+            for r in stats:
+                pid = str(r[partition_col])
+                res.partitions[pid] = max(res.partitions.get(pid, -1), int(r["mx"]))
 
         applied_update = None
         if epoch is not None:
@@ -227,7 +249,17 @@ def merge_into(
             res.version = snap.version
             return res
 
-        merged = _resolve(spark, table, deduped, affected, op_col, seq_col)
+        strategy = resolve_strategy
+        if strategy == "auto":
+            # shuffling the touched buckets (unionagg: one hash-agg,
+            # fewest stages) beats the no-table-shuffle join plan until
+            # the touched data is large; cross-over set at 256 MB of
+            # stored parquet (~1 GB in memory) per merge.
+            limit = int(os.environ.get("NEBULA_UNIONAGG_MAX_BYTES", 256 * 1024 * 1024))
+            strategy = "unionagg" if table.bucket_bytes(affected) < limit else "broadcast"
+        merged = _resolve(
+            spark, table, deduped, affected, op_col, seq_col, strategy
+        )
 
         commit_dir = table.new_commit_dir()
         # one output file per bucket partition dir; AQE coalesces the

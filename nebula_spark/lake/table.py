@@ -238,7 +238,11 @@ class LakeTable:
         for b in replaced_buckets:
             files.pop(int(b), None)
         for b, paths in (new_files_by_bucket or {}).items():
-            entries = [{"path": p, "schema_version": sv} for p in sorted(paths)]
+            normalized = [p if isinstance(p, tuple) else (p, 0) for p in paths]
+            entries = [
+                {"path": p, "schema_version": sv, "size": sz}
+                for p, sz in sorted(normalized)
+            ]
             files.setdefault(int(b), [])
             files[int(b)] = files[int(b)] + entries
         raw["files"] = {str(b): fs for b, fs in sorted(files.items())}
@@ -259,23 +263,35 @@ class LakeTable:
         return d
 
     @staticmethod
-    def list_written_files(commit_dir: str) -> dict[int, list[str]]:
+    def list_written_files(commit_dir: str) -> dict[int, list[tuple[str, int]]]:
         """Collect parquet files written by ``partitionBy('_bucket')``
-        under ``commit_dir`` → {bucket: [abs paths]}."""
-        out: dict[int, list[str]] = {}
+        under ``commit_dir`` → {bucket: [(abs path, bytes)]}."""
+        out: dict[int, list[tuple[str, int]]] = {}
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
                 continue
             b = int(entry.split("=", 1)[1])
             d = os.path.join(commit_dir, entry)
             paths = [
-                os.path.join(d, f)
+                (os.path.join(d, f), os.path.getsize(os.path.join(d, f)))
                 for f in sorted(os.listdir(d))
                 if f.endswith(".parquet")
             ]
             if paths:
                 out[b] = paths
         return out
+
+    def bucket_bytes(self, buckets: Iterable[int]) -> int:
+        """Total stored bytes of the given buckets (from the snapshot) —
+        drives the merge-strategy choice."""
+        files = self.snapshot().files
+        want = {int(b) for b in buckets}
+        return sum(
+            int(e.get("size", 0))
+            for b, entries in files.items()
+            if b in want
+            for e in entries
+        )
 
     def read(
         self,
