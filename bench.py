@@ -42,12 +42,23 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     n_events = int(os.environ.get("BENCH_EVENTS", int(5_000_000 * sf)))
     n_docs = max(int(os.environ.get("BENCH_DOCS", int(500_000 * sf))), 100)
     n_batches = int(os.environ.get("BENCH_BATCHES", 4))
+    max_tok = int(os.environ.get("BENCH_MAX_TOK", 256))
 
-    binlog_dir = os.path.join(workdir, f"binlog_{n_events}_{n_batches}")
+    binlog_dir = os.path.join(workdir, f"binlog_{n_events}_{n_batches}_{max_tok}")
     if not os.path.exists(os.path.join(binlog_dir, "_SUCCESS")):
         shutil.rmtree(binlog_dir, ignore_errors=True)
+        # n_partitions fixed (not cpus) so every parallelism level
+        # replays the byte-identical binlog — required for the N vs 4N
+        # scaling comparison
         log = gen_binlog(
-            spark, n_events, n_docs, seed=42, hot_frac=0.2, n_hot=4, n_partitions=cpus
+            spark,
+            n_events,
+            n_docs,
+            seed=42,
+            hot_frac=0.2,
+            n_hot=4,
+            n_partitions=8,
+            max_tok=max_tok,
         )
         write_binlog_chunks(log, binlog_dir, n_chunks=n_batches)
     chunks = sorted(
@@ -61,18 +72,25 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     table = LakeTable.create(
         table_dir, SEQUENCE_SCHEMA, "doc_id", n_buckets=max(cpus, 16)
     )
+    per_chunk_events = n_events / n_batches
     t0 = time.time()
-    applied = 0
+    batch_secs: list[float] = []
     for i, chunk in enumerate(chunks):
-        res = apply_changes(spark, table, spark.read.parquet(chunk), epoch=i)
-        applied += res.merge.events_in
+        tb = time.time()
+        apply_changes(spark, table, spark.read.parquet(chunk), epoch=i)
+        batch_secs.append(time.time() - tb)
     dt = time.time() - t0
+    # sustained = steady-state rate (first batch carries JVM/codegen
+    # warmup; the 10^10-scale figure is the sustained one)
+    tail = batch_secs[1:] or batch_secs
+    sustained = per_chunk_events * len(tail) / sum(tail)
     return {
         "events": n_events,
         "batches": n_batches,
         "seconds": round(dt, 2),
+        "batch_seconds": [round(s, 2) for s in batch_secs],
         "events_per_sec": round(n_events / dt, 1),
-        "final_rows": None,  # avoid an extra scan in the timed path
+        "sustained_events_per_sec": round(sustained, 1),
     }
 
 
@@ -115,7 +133,7 @@ def main() -> None:
 
     spark = get_spark("nebula-bench", parallelism=cpus)
 
-    queries = run_queries(spark, sf_dir)
+    queries = {} if os.environ.get("BENCH_ONLY_CDC") else run_queries(spark, sf_dir)
     cdc = run_cdc_replay(spark, sf, cpus, workdir)
     queries["cdc_replay_pipeline"] = cdc["seconds"]
     total = round(sum(queries.values()), 2)

@@ -145,12 +145,18 @@ def gen_binlog(
 
 
 def write_binlog_chunks(
-    df: DataFrame, out_dir: str, n_chunks: int, seq_col: str = "op_sequence"
+    df: DataFrame,
+    out_dir: str,
+    n_chunks: int,
+    seq_col: str = "op_sequence",
+    files_per_chunk: int = 8,
 ) -> list[str]:
-    """Materialize the binlog as ordered parquet chunk files — the file
+    """Materialize the binlog as ordered parquet chunk dirs — the file
     roll stands in for binlog rotation (pkg/cdc/mysql.go:480-491). Each
     chunk holds a contiguous op_sequence range so a file-source stream
-    that lists files in name order replays in order."""
+    that lists chunks in name order replays in order; within a chunk,
+    ``files_per_chunk`` files keep the downstream scan parallel (a
+    single fat file = a single input split = a serialized read)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -159,9 +165,10 @@ def write_binlog_chunks(
     chunk = F.least(
         F.floor(F.col(seq_col) / F.lit(per)), F.lit(n_chunks - 1)
     ).cast("int")
+    subfile = F.pmod(F.col(seq_col), F.lit(files_per_chunk)).cast("int")
     (
         df.withColumn("_chunk", chunk)
-        .repartition("_chunk")
+        .repartition(n_chunks * files_per_chunk, F.col("_chunk"), subfile)
         .sortWithinPartitions(seq_col)
         .write.partitionBy("_chunk")
         .mode("overwrite")

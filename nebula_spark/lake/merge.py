@@ -112,7 +112,11 @@ def _resolve(
         return table.bucket_of(resolved)
 
     t_a, b_a = target.alias("t"), b.alias("b")
-    joined = t_a.join(F.broadcast(b_a), F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
+    # 'broadcast' forces the hint (known-small batches); 'join' lets
+    # AQE pick BHJ/SMJ from runtime sizes — forcing a broadcast of a
+    # fat batch stalls the driver for tens of seconds.
+    b_side = F.broadcast(b_a) if strategy == "broadcast" else b_a
+    joined = t_a.join(b_side, F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
     b_wins = F.col(f"b.{SEQ_COL}").isNotNull() & (
         F.col(f"t.{SEQ_COL}").isNull() | (F.col(f"b.{SEQ_COL}") > F.col(f"t.{SEQ_COL}"))
     )
@@ -256,7 +260,7 @@ def merge_into(
             # the touched data is large; cross-over set at 256 MB of
             # stored parquet (~1 GB in memory) per merge.
             limit = int(os.environ.get("NEBULA_UNIONAGG_MAX_BYTES", 256 * 1024 * 1024))
-            strategy = "unionagg" if table.bucket_bytes(affected) < limit else "broadcast"
+            strategy = "unionagg" if table.bucket_bytes(affected) < limit else "join"
         merged = _resolve(
             spark, table, deduped, affected, op_col, seq_col, strategy
         )

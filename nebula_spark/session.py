@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # split fat parquet files across tasks (local files have no HDFS
+        # block boundaries; without this a 100 MB file is 1 input split)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # small-batch MERGE sides should broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,83 @@
+"""Scaling-efficiency evidence: run the identical CDC replay at two
+parallelism levels (N and 4N local cores — the sandbox stand-in for N
+vs 4N executors) and report throughput + efficiency.
+
+Each level runs in a fresh subprocess (own JVM) against the same
+pre-generated binlog. Writes/updates BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [N] [4N] [events] [batches]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, events: int, batches: int, workdir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_EVENTS=str(events),
+        BENCH_BATCHES=str(batches),
+        BENCH_WORKDIR=workdir,
+        BENCH_ONLY_CDC="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)["cdc_replay"]
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * n
+    events = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    batches = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    workdir = f"/tmp/nebula_scaling_{events}_{batches}"
+    os.makedirs(workdir, exist_ok=True)
+
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+
+    # warm the binlog cache once (generation excluded from both runs)
+    run_level(n, events, batches, workdir)
+
+    # the sandbox host shows episodic CPU steal from co-tenants —
+    # interleave the two levels across rounds and take the best
+    # sustained rate per level (best-of filters the noise; both levels
+    # face the same environment)
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(run_level(n, events, batches, workdir))
+        hi_runs.append(run_level(n4, events, batches, workdir))
+    lo = max(lo_runs, key=lambda r: r["sustained_events_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["sustained_events_per_sec"])
+    eff = (hi["sustained_events_per_sec"] / lo["sustained_events_per_sec"]) / (n4 / n)
+    result = {
+        "cores_n": n,
+        "cores_4n": n4,
+        "events": events,
+        "batches": batches,
+        "rounds": rounds,
+        "sustained_events_per_sec_n": lo["sustained_events_per_sec"],
+        "sustained_events_per_sec_4n": hi["sustained_events_per_sec"],
+        "all_sustained_n": [r["sustained_events_per_sec"] for r in lo_runs],
+        "all_sustained_4n": [r["sustained_events_per_sec"] for r in hi_runs],
+        "batch_seconds_n": lo["batch_seconds"],
+        "batch_seconds_4n": hi["batch_seconds"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Schema evolution — mirrors the reference's evolution rules
+(pkg/schema/evolution.go) and the integration shape of its evolution
+destination wrapper (pkg/connector/evolution/
+schema_evolution_destination.go): evolve mid-stream, verify final
+schema + defaults + widened types."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from nebula_spark.cdc import gen_binlog
+from nebula_spark.cdc.apply import apply_changes
+from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+from nebula_spark.evolution import (
+    check_compatibility,
+    diff_schemas,
+    evolve_schema,
+)
+from nebula_spark.lake import LakeTable
+
+
+def _s(*fields):
+    return T.StructType([T.StructField(n, t, nullable) for n, t, nullable in fields])
+
+
+class TestDiffAndCompat:
+    def test_diff_detects_all_change_kinds(self):
+        old = _s(("a", T.IntegerType(), True), ("b", T.StringType(), False))
+        new = _s(("a", T.LongType(), True), ("c", T.DoubleType(), True))
+        kinds = {(c.kind, c.field) for c in diff_schemas(old, new)}
+        assert ("MODIFY_TYPE", "a") in kinds
+        assert ("ADD_FIELD", "c") in kinds
+        assert ("REMOVE_FIELD", "b") in kinds
+
+    def test_backward_rejects_required_add_and_narrowing(self):
+        old = _s(("a", T.LongType(), True))
+        assert check_compatibility(old, _s(("a", T.LongType(), True), ("b", T.StringType(), False)))
+        assert check_compatibility(old, _s(("a", T.IntegerType(), True)))  # narrowing
+        assert not check_compatibility(old, _s(("a", T.LongType(), True), ("b", T.StringType(), True)))
+
+    def test_forward_rejects_removal(self):
+        old = _s(("a", T.LongType(), True), ("b", T.StringType(), True))
+        new = _s(("a", T.LongType(), True))
+        assert check_compatibility(old, new, mode="FORWARD")
+        assert not check_compatibility(old, new, mode="BACKWARD")
+
+    def test_evolve_default_widens_and_adds(self):
+        table = _s(("k", T.StringType(), False), ("n", T.IntegerType(), True))
+        batch = _s(("k", T.StringType(), False), ("n", T.LongType(), True), ("lang", T.StringType(), True))
+        out, changes = evolve_schema(table, batch)
+        by_name = {f.name: f.dataType for f in out.fields}
+        assert isinstance(by_name["n"], T.LongType)
+        assert isinstance(by_name["lang"], T.StringType)
+        assert {c.kind for c in changes} == {"MODIFY_TYPE", "ADD_FIELD"}
+
+    def test_evolve_strict_rejects_type_change(self):
+        table = _s(("k", T.StringType(), False), ("n", T.IntegerType(), True))
+        batch = _s(("k", T.StringType(), False), ("n", T.LongType(), True))
+        with pytest.raises(ValueError):
+            evolve_schema(table, batch, policy="strict")
+
+    def test_evolve_flexible_degrades_to_string(self):
+        table = _s(("n", T.LongType(), True))
+        batch = _s(("n", T.BooleanType(), True))
+        out, _ = evolve_schema(table, batch, policy="flexible")
+        assert isinstance(out.fields[0].dataType, T.StringType)
+
+    def test_narrower_batch_keeps_table_type(self):
+        table = _s(("n", T.LongType(), True))
+        batch = _s(("n", T.IntegerType(), True))
+        out, changes = evolve_schema(table, batch)
+        assert isinstance(out.fields[0].dataType, T.LongType) and not changes
+
+
+def test_mid_stream_evolution_end_to_end(spark, tmp_path):
+    """v1 events, then a v2 batch adding `lang` and widening n_tok to
+    long: final schema has both; pre-evolution rows read lang=null;
+    all rows read n_tok as long (FIXTURES.md §3)."""
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+
+    v1 = gen_binlog(spark, 1000, 100, seed=9)
+    r1 = apply_changes(spark, table, v1, epoch=0)
+    assert r1.schema_changes == 0
+
+    v2 = (
+        gen_binlog(spark, 1000, 100, seed=10)
+        .withColumn("op_sequence", F.col("op_sequence") + 1000)
+        .withColumn("n_tok", F.col("n_tok").cast("long"))
+        .withColumn(
+            "lang",
+            F.when(F.col("op") == "DELETE", F.lit(None)).otherwise(F.lit("en")),
+        )
+        .withColumn("schema_version", F.lit(2))
+    )
+    r2 = apply_changes(spark, table, v2, epoch=1)
+    assert r2.schema_changes == 2  # widen n_tok + add lang
+
+    schema = {f.name: f.dataType for f in table.user_schema.fields}
+    assert isinstance(schema["n_tok"], T.LongType)
+    assert isinstance(schema["lang"], T.StringType)
+
+    final = table.read(spark)
+    # rows last written by a v1 event have lang null; v2-written rows 'en'
+    v2_keys = {r["doc_id"] for r in v2.filter("op <> 'DELETE'").select("doc_id").collect()}
+    sample = final.collect()
+    assert len(sample) > 0
+    for row in sample:
+        assert row["n_tok"] is None or isinstance(row["n_tok"], int)
+        if row["lang"] == "en":
+            assert row["doc_id"] in v2_keys
+
+    # time travel: the pre-evolution snapshot still reads with schema v1
+    pre = table.read(spark, version=r1.merge.version)
+    assert "lang" not in pre.columns
+
+
+def test_redelivery_after_evolution_is_noop(spark, tmp_path):
+    """Evolution commit + merge commit are separate snapshots; the
+    epoch manifest must still dedupe a redelivered evolved batch."""
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    v2 = gen_binlog(spark, 500, 50, seed=3).withColumn("lang", F.lit("en"))
+    apply_changes(spark, table, v2, epoch=0)
+    v_before = table.snapshot().version
+    res = apply_changes(spark, table, v2, epoch=0)
+    assert res.merge.skipped
+    assert table.snapshot().version == v_before
