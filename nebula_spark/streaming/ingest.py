@@ -41,10 +41,14 @@ def run_stream(
     dlq_table: LakeTable | None = None,
     available_now: bool = True,
     schema=None,
+    metrics_path: str | None = None,
 ) -> dict:
     """Run the ingest stream until the backlog is drained
     (``available_now``) or indefinitely. Returns throughput metrics
     built from the streaming progress + the table manifest."""
+    from nebula_spark.metrics import IngestMetrics
+
+    ingest_metrics = IngestMetrics()
     metrics = {"batches": 0, "skipped": 0, "events": 0}
 
     def apply_batch(batch_df, batch_id: int):
@@ -57,11 +61,14 @@ def run_stream(
             evolution_policy=evolution_policy,
             dlq_table=dlq_table,
         )
+        ingest_metrics.record(res)
         metrics["batches"] += 1
         if res.merge.skipped:
             metrics["skipped"] += 1
         else:
             metrics["events"] += res.merge.events_in
+        if metrics_path:
+            ingest_metrics.dump(metrics_path, table)
 
     reader = (
         spark.readStream.schema(schema or BINLOG_SCHEMA)
@@ -87,4 +94,5 @@ def run_stream(
         "events_per_sec": round(metrics["events"] / dt, 1) if dt > 0 else None,
         "snapshot_version": table.snapshot().version,
         "lineage_offsets": table.partition_offsets(),
+        "detail": ingest_metrics.snapshot(),
     }

@@ -1,0 +1,115 @@
+"""Sources/sinks, type inference, incremental diff, compaction."""
+
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from nebula_spark.cdc import gen_binlog
+from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+from nebula_spark.io.inference import coerce, infer_schema, infer_types
+from nebula_spark.io.sinks import FileSink
+from nebula_spark.io.sources import CSVSource, JSONSource, incremental_diff
+from nebula_spark.lake import LakeTable, merge_into
+from nebula_spark.lake.maintenance import compact, expire_snapshots
+
+
+def test_csv_roundtrip_with_options(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a|x", 1.5), (2, "b", 2.5)], "id int, name string, v double"
+    )
+    out = str(tmp_path / "csv")
+    FileSink(out, format="csv", compression="gzip", mode="overwrite",
+             options={"header": True, "sep": ";"}).write(df)
+    back = CSVSource(out, delimiter=";", infer_schema=True).read(spark)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_json_lines_and_array(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    lines = str(tmp_path / "jl")
+    df.write.json(lines)
+    assert JSONSource(lines).read(spark).count() == 2
+    arr = str(tmp_path / "ja" / "d.json")
+    os.makedirs(os.path.dirname(arr))
+    with open(arr, "w") as f:
+        f.write('[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]')
+    assert JSONSource(str(tmp_path / "ja"), array_format=True).read(spark).count() == 2
+
+
+def test_type_inference_engine(spark):
+    rows = [
+        ("42", "3.14", "true", "2024-01-02 03:04:05", "2024-01-02",
+         "a@b.co", "https://x.io/p", '{"k":1}', "plain text"),
+    ] * 50
+    cols = "i string, d string, b string, ts string, dt string, em string, url string, js string, s string"
+    df = spark.createDataFrame(rows, cols)
+    t = infer_types(df)
+    assert t == {
+        "i": "long", "d": "double", "b": "boolean", "ts": "timestamp",
+        "dt": "date", "em": "email", "url": "url", "js": "json", "s": "string",
+    }
+    schema = infer_schema(df)
+    typed = coerce(df, schema)
+    by = {f.name: f.dataType for f in typed.schema.fields}
+    assert isinstance(by["i"], T.LongType) and isinstance(by["ts"], T.TimestampType)
+    row = typed.collect()[0]
+    assert row["i"] == 42 and row["b"] is True
+
+
+def test_inference_confidence_threshold(spark):
+    rows = [("1",)] * 90 + [("x",)] * 10  # 90% long < 95% threshold
+    df = spark.createDataFrame(rows, "v string")
+    assert infer_types(df)["v"] == "string"
+    assert infer_types(df, confidence=0.8)["v"] == "long"
+
+
+def test_incremental_diff_between_snapshots(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    merge_into(spark, table, gen_binlog(spark, 2000, 100, seed=1), epoch=0)
+    v1 = table.snapshot().version
+    delta = gen_binlog(spark, 500, 100, seed=2).withColumn(
+        "op_sequence", F.col("op_sequence") + 10_000
+    )
+    merge_into(spark, table, delta, epoch=1)
+
+    diff = incremental_diff(spark, str(tmp_path / "t"), from_version=v1)
+    changed_keys = {r["doc_id"] for r in diff.select("doc_id").collect()}
+    expect = {r["doc_id"] for r in delta.select("doc_id").distinct().collect()}
+    assert changed_keys == expect
+    # deletes appear as tombstones in the diff
+    assert diff.filter("_deleted").count() > 0
+
+
+def test_compaction_preserves_state_and_purges(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    for i in range(4):
+        b = gen_binlog(spark, 1000, 80, seed=i).withColumn(
+            "op_sequence", F.col("op_sequence") + i * 10_000
+        )
+        merge_into(spark, table, b, epoch=i)
+    before = sorted(tuple(r) for r in table.read(spark).collect())
+    n_files_before = sum(len(v) for v in table.snapshot().files.values())
+    n_tombstones = table.read(spark, include_internal=True).filter("_deleted").count()
+    assert n_tombstones > 0
+
+    compact(spark, table, purge_all_tombstones=True)
+    after = sorted(tuple(r) for r in table.read(spark).collect())
+    assert after == before
+    assert table.read(spark, include_internal=True).filter("_deleted").count() == 0
+    assert sum(len(v) for v in table.snapshot().files.values()) <= min(n_files_before, 4)
+
+    removed = expire_snapshots(table, keep_last=1)
+    assert removed > 0
+    # current state still readable after expiry
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before
+
+
+def test_compaction_watermark_keeps_recent_tombstones(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
+    merge_into(spark, table, gen_binlog(spark, 1000, 50, seed=5), epoch=0)
+    mid = 500
+    compact(spark, table, purge_tombstone_watermark=mid)
+    remaining = table.read(spark, include_internal=True).filter("_deleted")
+    assert remaining.filter(F.col("_seq") < mid).count() == 0
+    # late tombstones survive to defend against out-of-order stragglers
+    assert remaining.count() == remaining.filter(F.col("_seq") >= mid).count()
