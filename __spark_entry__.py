@@ -194,6 +194,52 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_t(spark, sf_dir, "documents"))
 
 
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap splits a user's events into
+    sessions (lag + cumulative sum window)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.lit(30 * 60 * 1_000_000)
+    new_session = (
+        (F.col("ts_us") - F.lag("ts_us").over(w) > gap)
+        | F.lag("ts_us").over(w).isNull()
+    ).cast("long")
+    sessions = (
+        ev.withColumn("_new", new_session)
+        .withColumn("session_id", F.sum("_new").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.text import words
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 10)
+    )
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.text import quality_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC last-writer-wins replay to final state on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -215,6 +261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _minhash,
         "dedup_ngram_jaccard": _jaccard,
         "dedup_simhash": _simhash,
+        "events_sessionize": _sessionize,
+        "text_word_histogram": _word_histogram,
+        "text_quality": _text_quality,
     }
 
 
@@ -338,6 +387,52 @@ def oracle_sql() -> dict[str, str]:
                          len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
             FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
                        JOIN sh sb ON pairs.doc_b = sb.doc_id
+        """,
+        "events_sessionize": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS _new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), sess AS (
+              SELECT user_id,
+                     sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us) AS session_id
+              FROM s
+            ), per AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events
+            FROM per GROUP BY user_id
+        """,
+        "text_word_histogram": r"""
+            SELECT word, count(*) AS freq FROM (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+              FROM documents
+            ) GROUP BY word HAVING count(*) >= 10
+        """,
+        "text_quality": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS w,
+                     length(text) AS n_chars
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     least(n_chars / 200.0, 1.0) AS len_ok,
+                     list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                       / greatest(len(w), 1) AS wl,
+                     least(len(list_intersect(
+                       list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
+                       {_STOPWORDS_SQL}))::DOUBLE / 3.0, 1.0) AS sw_ok
+              FROM t
+            )
+            SELECT doc_id,
+                   round(0.4 * len_ok
+                       + 0.3 * (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.4 END)
+                       + 0.3 * sw_ok, 4) AS quality
+            FROM m
         """,
         # dedup_simhash / ann_lsh_topk use xxhash64 (no DuckDB twin)
         # → rows-only check.
