@@ -40,7 +40,9 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     from nebula_spark.lake.table import LakeTable
 
     n_events = int(os.environ.get("BENCH_EVENTS", int(5_000_000 * sf)))
-    n_docs = max(int(os.environ.get("BENCH_DOCS", int(500_000 * sf))), 100)
+    # doc space ~ half the events: realistic update collapse without the
+    # degenerate case where dedup shrinks every batch to a tiny key set
+    n_docs = max(int(os.environ.get("BENCH_DOCS", n_events // 2)), 100)
     n_batches = int(os.environ.get("BENCH_BATCHES", 4))
     max_tok = int(os.environ.get("BENCH_MAX_TOK", 256))
 

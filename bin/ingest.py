@@ -117,6 +117,14 @@ def cmd_stream(args) -> dict:
     )
 
 
+def cmd_run(args) -> dict:
+    """EL pipeline from JSON configs (reference: `nebula run`)."""
+    from nebula_spark.pipeline import Pipeline
+
+    spark = get_spark("nebula-run", parallelism=args.cpus)
+    return Pipeline.from_files(args.source, args.destination).run(spark)
+
+
 def cmd_show(args) -> dict:
     from nebula_spark.lake import LakeTable
 
@@ -166,6 +174,11 @@ def main(argv=None):
     sh = sub.add_parser("show")
     sh.add_argument("--table", required=True)
     sh.set_defaults(fn=cmd_show)
+
+    r = sub.add_parser("run")
+    r.add_argument("--source", required=True)
+    r.add_argument("--destination", required=True)
+    r.set_defaults(fn=cmd_run)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))
