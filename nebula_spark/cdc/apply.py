@@ -121,7 +121,7 @@ def apply_changes(
         table,
         df,
         epoch=epoch,
-        dedup_how=dedup_how,
+        dedup_how=os.environ.get("NEBULA_DEDUP_HOW", dedup_how),
         resolve_strategy=resolve_strategy
         or os.environ.get("NEBULA_RESOLVE_STRATEGY", "auto"),
     )

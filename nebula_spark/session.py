@@ -36,8 +36,10 @@ def get_spark(
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
         .appName(app_name)
-        # shuffle partitions ~ cores for local; AQE coalesces further
-        .config("spark.sql.shuffle.partitions", str(max(n, 4)))
+        # shuffle partitions ~ 4× cores: keeps individual partitions of
+        # wide rows (token arrays) small enough to stay in-memory; AQE
+        # coalesces the small ones back together
+        .config("spark.sql.shuffle.partitions", str(max(n * 4, 8)))
         .config("spark.default.parallelism", str(max(n, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -48,6 +50,11 @@ def get_spark(
         # split fat parquet files across tasks (local files have no HDFS
         # block boundaries; without this a 100 MB file is 1 input split)
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # max(struct(...)) aggregations (LWW dedup/merge) run on
+        # ObjectHashAggregate; the default fallback-to-sort threshold of
+        # 128 keys turns large dedups into spilling sorts — keep them
+        # hash-based (rows are bounded by the shuffle partition size)
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
         # small-batch MERGE sides should broadcast
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -26,6 +26,10 @@ def run_level(cpus: int, events: int, batches: int, workdir: str) -> dict:
         BENCH_BATCHES=str(batches),
         BENCH_WORKDIR=workdir,
         BENCH_ONLY_CDC="1",
+        # large-batch regime: codegen'd join plans, no object-hash aggs
+        NEBULA_DEDUP_HOW=os.environ.get("NEBULA_DEDUP_HOW", "join"),
+        NEBULA_RESOLVE_STRATEGY=os.environ.get("NEBULA_RESOLVE_STRATEGY", "join"),
+        SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -18,9 +18,11 @@ def test_dedup_strategies_agree(spark):
     log = gen_binlog(spark, 5000, 300, seed=7, hot_frac=0.3, n_hot=2)
     frames = {
         how: lww_dedup(log, how=how).orderBy("doc_id").collect()
-        for how in ("window", "agg", "salted")
+        for how in ("window", "agg", "salted", "join")
     }
-    assert frames["window"] == frames["agg"] == frames["salted"]
+    assert (
+        frames["window"] == frames["agg"] == frames["salted"] == frames["join"]
+    )
     # one row per key, and it's the max op_sequence
     agg = lww_dedup(log, how="agg")
     assert agg.count() == agg.select("doc_id").distinct().count()
