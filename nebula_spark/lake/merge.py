@@ -112,6 +112,26 @@ def _resolve(
         return table.bucket_of(resolved)
 
     t_a, b_a = target.alias("t"), b.alias("b")
+
+    if strategy == "fullouter":
+        # fat-batch plan: when the deduped batch is too big to
+        # broadcast, the left-join plan degenerates to SMJ + an extra
+        # key-scan + an anti-join — three shuffles and two target
+        # scans. ONE full-outer SMJ covers matched, target-only AND
+        # batch-only rows in a single pass.
+        f = t_a.join(b_a, F.col(f"t.{key}") == F.col(f"b.{key}"), "full")
+        b_wins = F.col(f"b.{SEQ_COL}").isNotNull() & (
+            F.col(f"t.{SEQ_COL}").isNull()
+            | (F.col(f"b.{SEQ_COL}") > F.col(f"t.{SEQ_COL}"))
+        )
+        cols = [
+            F.coalesce(F.col(f"b.{key}"), F.col(f"t.{key}")).alias(key)
+            if c == key
+            else F.when(b_wins, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in b.columns
+        ]
+        return table.bucket_of(f.select(*cols))
+
     # 'broadcast' forces the hint (known-small batches); 'join' lets
     # AQE pick BHJ/SMJ from runtime sizes — forcing a broadcast of a
     # fat batch stalls the driver for tens of seconds.
@@ -255,12 +275,21 @@ def merge_into(
 
         strategy = resolve_strategy
         if strategy == "auto":
-            # shuffling the touched buckets (unionagg: one hash-agg,
-            # fewest stages) beats the no-table-shuffle join plan until
-            # the touched data is large; cross-over set at 256 MB of
-            # stored parquet (~1 GB in memory) per merge.
+            # three regimes (measured at 1M-event batches, BENCH/):
+            # - small touched data → unionagg: one hash-agg, fewest stages
+            # - huge table, small batch → join: batch broadcasts, the
+            #   table side never shuffles
+            # - huge table, fat batch → fullouter: one SMJ covers
+            #   matched + both unmatched sides in a single pass (the
+            #   left-join plan would shuffle the table AND scan it twice)
             limit = int(os.environ.get("NEBULA_UNIONAGG_MAX_BYTES", 256 * 1024 * 1024))
-            strategy = "unionagg" if table.bucket_bytes(affected) < limit else "join"
+            small_batch = int(os.environ.get("NEBULA_BROADCAST_MAX_KEYS", 200_000))
+            if table.bucket_bytes(affected) < limit:
+                strategy = "unionagg"
+            elif res.keys_touched < small_batch:
+                strategy = "join"
+            else:
+                strategy = "fullouter"
         merged = _resolve(
             spark, table, deduped, affected, op_col, seq_col, strategy
         )

@@ -66,6 +66,24 @@ def test_multi_batch_replay_matches_oracle(spark, tmp_path):
     assert len(offs) == 8 and all(v >= 0 for v in offs.values())
 
 
+def test_resolve_strategies_equivalent(spark, tmp_path):
+    """unionagg / join / broadcast / fullouter produce identical final
+    state — they are physical plans for one logical MERGE."""
+    logs = [gen_binlog(spark, 3000, 150, seed=s) for s in (41, 43)]
+    logs[1] = logs[1].withColumn("op_sequence", F.col("op_sequence") + 5000)
+    states = {}
+    for strat in ("unionagg", "join", "broadcast", "fullouter"):
+        table = LakeTable.create(
+            str(tmp_path / f"t_{strat}"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+        )
+        for i, log in enumerate(logs):
+            merge_into(spark, table, log, epoch=i, resolve_strategy=strat)
+        states[strat] = sorted(tuple(r) for r in table.read(spark).collect())
+    assert (
+        states["unionagg"] == states["join"] == states["broadcast"] == states["fullouter"]
+    )
+
+
 def test_out_of_order_batches_converge(spark, tmp_path):
     """The merge is sequence-aware (LWW by op_sequence with tombstones),
     so batches applied in ANY order converge to the same final state —
