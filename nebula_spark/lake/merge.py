@@ -46,6 +46,7 @@ from nebula_spark.lake.table import (
     SEQ_COL,
     LakeTable,
     align_to_schema,
+    bucket_expr,
 )
 
 DELETE_OP = "DELETE"
@@ -229,29 +230,26 @@ def merge_into(
         res.skipped = True
         return res
 
-    extra = [c for c in (op_col, seq_col, partition_col) if c and c in batch.columns]
-    deduped = batch if already_deduped else lww_dedup(batch, key=key, seq=seq_col, how=dedup_how)
-    deduped = table.bucket_of(deduped).persist()
+    deduped = None
+    needs_persist = False
     try:
-        # ONE pass over the (small) deduped batch for all driver-side
-        # facts: touched buckets, counters, and per-source-partition
-        # high-water marks. Offsets are the max *surviving* op_sequence
-        # per partition — a safe under-estimate (resume replays a few
-        # already-applied events; the manifest makes that a no-op).
-        grain = ["_bucket"] + (
-            [partition_col] if partition_col and partition_col in deduped.columns else []
+        # job 1 (cheap, column-pruned: key/op/seq/partition only — no
+        # dedup, no arrays): touched buckets, event counters, and
+        # per-source-partition high-water marks for lineage.
+        grain = [bucket_expr(table.key_col, table.n_buckets).alias("_bucket")] + (
+            [F.col(partition_col)] if partition_col and partition_col in batch.columns else []
         )
-        stats = deduped.groupBy(*grain).agg(
+        stats = batch.groupBy(*grain).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col(op_col) == DELETE_OP).cast("long")).alias("n_del"),
             F.max(seq_col).alias("mx"),
         ).collect()
         affected = sorted({int(r["_bucket"]) for r in stats})
-        res.keys_touched = int(sum(r["n"] for r in stats))
+        res.events_in = int(sum(r["n"] for r in stats))
         res.rows_deleted = int(sum(r["n_del"] for r in stats))
-        res.rows_upserted = res.keys_touched - res.rows_deleted
+        res.rows_upserted = res.events_in - res.rows_deleted
+        res.keys_touched = res.events_in  # pre-dedup upper bound
         res.buckets_touched = len(affected)
-        res.events_in = res.keys_touched  # post-dedup; caller may overwrite
 
         if len(grain) > 1:
             for r in stats:
@@ -290,17 +288,31 @@ def merge_into(
                 strategy = "join"
             else:
                 strategy = "fullouter"
+
+        deduped = (
+            batch
+            if already_deduped
+            else lww_dedup(batch, key=key, seq=seq_col, how=dedup_how)
+        )
+        deduped = table.bucket_of(deduped)
+        # the join/broadcast plans reference the batch twice (matched +
+        # inserts); single-pass plans (unionagg/fullouter) keep it lazy
+        # so dedup fuses straight into the resolve+write job
+        needs_persist = strategy in ("join", "broadcast")
+        if needs_persist:
+            deduped = deduped.persist()
+
         merged = _resolve(
             spark, table, deduped, affected, op_col, seq_col, strategy
         )
 
         commit_dir = table.new_commit_dir()
-        # one output file per bucket partition dir; AQE coalesces the
-        # tiny post-join partitions. At cluster scale you'd leave Spark's
-        # default file sizing (maxRecordsPerFile) in charge instead.
-        merged.repartition("_bucket").write.partitionBy("_bucket").mode(
-            "append"
-        ).parquet(commit_dir)
+        # NO repartition before the write: the resolve plans leave data
+        # hash-partitioned by key (or file-partitioned per bucket), and
+        # bucket_expr matches Spark's shuffle hash, so tasks naturally
+        # hold few buckets each. partitionBy splits the dirs; compaction
+        # consolidates stragglers.
+        merged.write.partitionBy("_bucket").mode("append").parquet(commit_dir)
 
         new_files = LakeTable.list_written_files(commit_dir)
         snap = table.commit(
@@ -317,5 +329,6 @@ def merge_into(
         res.version = snap.version
         return res
     finally:
-        deduped.unpersist()
+        if needs_persist and deduped is not None:
+            deduped.unpersist()
         res.seconds = time.time() - t0

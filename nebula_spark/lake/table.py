@@ -55,9 +55,12 @@ SNAP_FMT = "snap-%012d.json"
 
 
 def bucket_expr(key_col: str, n_buckets: int):
-    """Deterministic bucket id for a key — stable across runs/engines
-    (xxhash64 with fixed seed 42), mirroring Iceberg's bucket transform."""
-    return F.pmod(F.xxhash64(F.col(key_col), F.lit(42)), F.lit(n_buckets)).cast("int")
+    """Deterministic bucket id for a key, mirroring Iceberg's bucket
+    transform. Uses Spark's Murmur3 `hash` — the SAME function
+    HashPartitioning uses — so when a merge's shuffle partition count
+    equals n_buckets, every shuffle output partition holds exactly one
+    bucket and the pre-write repartition exchange disappears."""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
 # engine-managed columns stored in data files: the op_sequence that

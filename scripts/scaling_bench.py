@@ -28,7 +28,7 @@ def run_level(cpus: int, events: int, batches: int, workdir: str) -> dict:
         BENCH_ONLY_CDC="1",
         # large-batch regime: codegen'd join plans, no object-hash aggs
         NEBULA_DEDUP_HOW=os.environ.get("NEBULA_DEDUP_HOW", "join"),
-        NEBULA_RESOLVE_STRATEGY=os.environ.get("NEBULA_RESOLVE_STRATEGY", "join"),
+        NEBULA_RESOLVE_STRATEGY=os.environ.get("NEBULA_RESOLVE_STRATEGY", "fullouter"),
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     )
     out = subprocess.run(
