@@ -43,7 +43,7 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     # doc space ~ half the events: realistic update collapse without the
     # degenerate case where dedup shrinks every batch to a tiny key set
     n_docs = max(int(os.environ.get("BENCH_DOCS", n_events // 2)), 100)
-    n_batches = int(os.environ.get("BENCH_BATCHES", 4))
+    n_batches = int(os.environ.get("BENCH_BATCHES", 3))
     max_tok = int(os.environ.get("BENCH_MAX_TOK", 256))
 
     binlog_dir = os.path.join(workdir, f"binlog_{n_events}_{n_batches}_{max_tok}")
