@@ -117,6 +117,31 @@ def cmd_stream(args) -> dict:
     )
 
 
+def cmd_compact(args) -> dict:
+    """Consolidate bucket files + purge tombstones below the lineage
+    low-water mark (or all, with --purge-all once the log is drained)."""
+    from nebula_spark.lake import LakeTable
+    from nebula_spark.lake.maintenance import compact, expire_snapshots
+
+    spark = get_spark("nebula-compact", parallelism=args.cpus)
+    table = LakeTable.load(args.table)
+    watermark = None
+    if not args.purge_all:
+        offs = table.partition_offsets()
+        watermark = min(offs.values()) if offs else None
+    out = compact(
+        spark,
+        table,
+        purge_tombstone_watermark=watermark,
+        purge_all_tombstones=args.purge_all,
+    )
+    if args.expire_snapshots:
+        out["snapshots_expired_files"] = expire_snapshots(
+            table, keep_last=args.keep_snapshots
+        )
+    return out
+
+
 def cmd_run(args) -> dict:
     """EL pipeline from JSON configs (reference: `nebula run`)."""
     from nebula_spark.pipeline import Pipeline
@@ -179,6 +204,13 @@ def main(argv=None):
     r.add_argument("--source", required=True)
     r.add_argument("--destination", required=True)
     r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--purge-all", action="store_true")
+    c.add_argument("--expire-snapshots", action="store_true")
+    c.add_argument("--keep-snapshots", type=int, default=10)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))

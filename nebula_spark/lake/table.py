@@ -224,10 +224,19 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         applied_update: dict | None = None,
         summary: dict | None = None,
+        _retries: int = 3,
     ) -> Snapshot:
         """Produce snapshot v+1: keep files of untouched buckets, swap in
         new files for ``replaced_buckets``, optionally bump the schema,
-        and merge ``applied_update`` into the commit manifest. Atomic."""
+        and merge ``applied_update`` into the commit manifest. Atomic.
+
+        Optimistic concurrency: if another writer created the same
+        snapshot version (O_EXCL failure), re-read HEAD and rebase the
+        commit — the Iceberg CommitFailedException-retry pattern. Safe
+        because this commit's file changes touch only buckets this
+        writer computed against; a genuine bucket conflict would need
+        external coordination (single-writer-per-table is the deployed
+        mode, as in the reference)."""
         cur = self.snapshot()
         raw = json.loads(json.dumps(cur.raw))  # deep copy
         version = cur.version + 1
@@ -253,7 +262,19 @@ class LakeTable:
             raw.setdefault("applied", {}).update(applied_update)
         raw["summary"] = summary or {}
         raw["committed_at"] = time.time()
-        self._write_snapshot(version, raw)
+        try:
+            self._write_snapshot(version, raw)
+        except FileExistsError:
+            if _retries <= 0:
+                raise
+            return self.commit(
+                new_files_by_bucket=new_files_by_bucket,
+                replaced_buckets=replaced_buckets,
+                new_schema=new_schema,
+                applied_update=applied_update,
+                summary=summary,
+                _retries=_retries - 1,
+            )
         return Snapshot(version, raw)
 
     # ---------- data path ----------
