@@ -66,7 +66,11 @@ def apply_changes(
         return ApplyResult(merge=MergeResult(skipped=True, epoch=epoch))
 
     res = ApplyResult(merge=MergeResult())
-    df = batch
+    # DDL marker rows (op='DDL', from a binlog QueryEvent) carry no
+    # payload — evolution is driven by the batch *schema*; drop them
+    # before the data path (reference reloads schemas on QueryEvent,
+    # pkg/cdc/mysql.go:701-723)
+    df = batch.filter(F.col("op") != "DDL") if "op" in batch.columns else batch
     if count_inputs:
         res.events_in = df.count()
     if event_filter is not None:

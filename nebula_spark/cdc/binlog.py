@@ -144,6 +144,45 @@ def gen_binlog(
     )
 
 
+def gen_binlog_evolved(
+    spark: SparkSession,
+    n_events: int,
+    n_docs: int,
+    seed: int = 42,
+    evolve_at: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Binlog with a mid-stream schema evolution (FIXTURES.md §3):
+    events at op_sequence ≥ evolve_at carry a new nullable ``lang``
+    column and a widened ``n_tok`` (long), preceded by one ``DDL``
+    marker row — mirroring a CREATE/ALTER QueryEvent in a real binlog
+    (pkg/cdc/mysql.go:701-723). Earlier events have lang = null."""
+    evolve_at = n_events // 2 if evolve_at is None else evolve_at
+    base = gen_binlog(spark, n_events, n_docs, seed=seed, **kwargs)
+    seq = F.col("op_sequence")
+    post = seq >= evolve_at
+    evolved = base.select(
+        "op_sequence",
+        F.when(seq == evolve_at, F.lit("DDL")).otherwise(F.col("op")).alias("op"),
+        "doc_id",
+        "tokens",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        "ts",
+        "txn_id",
+        "partition_id",
+        F.when(post, F.lit(2)).otherwise(F.lit(1)).alias("schema_version"),
+        F.when(
+            post & (F.col("op") != "DELETE"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (_u(seq, seed + 31, 0, 3) + 1).cast("int"),
+            ),
+        ).alias("lang"),
+    )
+    return evolved
+
+
 def write_binlog_chunks(
     df: DataFrame,
     out_dir: str,

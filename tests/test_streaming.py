@@ -62,6 +62,45 @@ def test_stream_resume_is_exactly_once(spark, tmp_path):
     assert_equivalent(table.read(spark), oracle)
 
 
+def test_stream_with_ddl_evolution(spark, tmp_path):
+    """DDL marker mid-binlog: the stream evolves the table schema in
+    flight; final state matches the oracle and pre-DDL rows read
+    lang = null."""
+    from nebula_spark.cdc.binlog import gen_binlog_evolved
+
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog_evolved(spark, 6000, 2000, seed=29, evolve_at=3000)
+    write_binlog_chunks(log, binlog_dir, n_chunks=3, files_per_chunk=1)
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    m = run_stream(
+        spark, table, binlog_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        schema=log.schema,
+    )
+    assert m["batches"] == 3
+    cols = {f.name: f.dataType.simpleString() for f in table.user_schema.fields}
+    assert cols.get("lang") == "string" and cols.get("n_tok") == "bigint"
+
+    import duckdb
+
+    oracle = duckdb.sql(f"""
+        SELECT doc_id, tokens, n_tok, lang FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY op_sequence DESC) rn
+          FROM read_parquet('{binlog_dir}/*/*.parquet') WHERE op <> 'DDL'
+        ) WHERE rn = 1 AND op <> 'DELETE' ORDER BY doc_id
+    """).fetchall()
+    got = sorted(
+        (r["doc_id"], list(r["tokens"]), r["n_tok"], r["lang"])
+        for r in table.read(spark).collect()
+    )
+    want = sorted((d, list(t), n, lg) for d, t, n, lg in oracle)
+    assert got == want
+    # at least one surviving pre-DDL row has lang null, one post has it
+    langs = {r[3] for r in got}
+    assert None in langs and len(langs) > 1
+
+
 def test_dlq_routes_malformed_events(spark, tmp_path):
     """Malformed events (null key / bad op / missing after-image) land
     in the DLQ table, not the target (ref: pkg/cdc/stream.go:857-959)."""
