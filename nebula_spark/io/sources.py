@@ -105,6 +105,43 @@ class ParquetSource:
 
 
 @dataclass
+class JDBCSource:
+    """Database batch scan — the reference's PostgreSQL/MySQL batch
+    sources (sources/postgresql/postgresql_source.go:248-354). Full
+    table or custom query; partitioned reads parallelize the scan the
+    way its parallel snapshot loop does. Untested here (no database in
+    the environment) — config surface + reader wiring only."""
+
+    url: str
+    table: str | None = None
+    query: str | None = None
+    partition_column: str | None = None
+    num_partitions: int = 8
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    options: dict = field(default_factory=dict)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        r = spark.read.format("jdbc").option("url", self.url)
+        if self.query:
+            r = r.option("query", self.query)
+        elif self.table:
+            r = r.option("dbtable", self.table)
+        else:
+            raise ValueError("JDBCSource needs table or query")
+        if self.partition_column:
+            r = (
+                r.option("partitionColumn", self.partition_column)
+                .option("numPartitions", self.num_partitions)
+                .option("lowerBound", self.lower_bound)
+                .option("upperBound", self.upper_bound)
+            )
+        for k, v in self.options.items():
+            r = r.option(k, v)
+        return r.load()
+
+
+@dataclass
 class LakeSource:
     """Read a LakeTable (snapshot isolation; optional time travel) —
     the analogue of the reference's Iceberg source with snapshot-based

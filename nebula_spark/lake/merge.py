@@ -80,6 +80,7 @@ def _resolve(
     op_col: str,
     seq_col: str,
     strategy: str = "broadcast",
+    fww: bool = False,
 ) -> DataFrame:
     """Order-independent LWW resolution of batch vs target.
 
@@ -104,9 +105,15 @@ def _resolve(
         # plan; preferable when the touched buckets are comparable in
         # size to the batch (e.g. bulk replay). The join plan wins when
         # the table dwarfs the batch (target never shuffles there).
-        everything = target.unionByName(b)
+        # FWW: existing rows outrank any batch event (precedence field).
+        pri_t, pri_b = (F.lit(1), F.lit(0)) if fww else (F.lit(0), F.lit(0))
+        everything = target.withColumn("_pri", pri_t).unionByName(
+            b.withColumn("_pri", pri_b)
+        )
         packed = F.struct(
-            F.col(SEQ_COL), *[F.col(c) for c in b.columns if c != SEQ_COL and c != key]
+            F.col("_pri"),
+            F.col(SEQ_COL),
+            *[F.col(c) for c in b.columns if c != SEQ_COL and c != key],
         )
         reduced = everything.groupBy(key).agg(F.max(packed).alias("_e"))
         resolved = reduced.select(F.col(key), F.col("_e.*")).select(*b.columns)
@@ -123,7 +130,11 @@ def _resolve(
         f = t_a.join(b_a, F.col(f"t.{key}") == F.col(f"b.{key}"), "full")
         b_wins = F.col(f"b.{SEQ_COL}").isNotNull() & (
             F.col(f"t.{SEQ_COL}").isNull()
-            | (F.col(f"b.{SEQ_COL}") > F.col(f"t.{SEQ_COL}"))
+            if fww
+            else (
+                F.col(f"t.{SEQ_COL}").isNull()
+                | (F.col(f"b.{SEQ_COL}") > F.col(f"t.{SEQ_COL}"))
+            )
         )
         cols = [
             F.coalesce(F.col(f"b.{key}"), F.col(f"t.{key}")).alias(key)
@@ -139,7 +150,12 @@ def _resolve(
     b_side = F.broadcast(b_a) if strategy == "broadcast" else b_a
     joined = t_a.join(b_side, F.col(f"t.{key}") == F.col(f"b.{key}"), "left")
     b_wins = F.col(f"b.{SEQ_COL}").isNotNull() & (
-        F.col(f"t.{SEQ_COL}").isNull() | (F.col(f"b.{SEQ_COL}") > F.col(f"t.{SEQ_COL}"))
+        F.lit(False)
+        if fww
+        else (
+            F.col(f"t.{SEQ_COL}").isNull()
+            | (F.col(f"b.{SEQ_COL}") > F.col(f"t.{SEQ_COL}"))
+        )
     )
     resolved = joined.select(
         *[
@@ -216,10 +232,16 @@ def merge_into(
     dedup_how: str = "agg",
     already_deduped: bool = False,
     resolve_strategy: str = "auto",
+    conflict: str = "last_write_wins",
 ) -> MergeResult:
     """Apply one change batch. ``batch`` must contain the table columns
     plus ``op_col``/``seq_col`` (and optionally ``partition_col`` for
-    per-source-partition lineage offsets)."""
+    per-source-partition lineage offsets).
+
+    ``conflict`` mirrors the reference's resolver strategies
+    (internal/pipeline/cdc.go:197-221): ``last_write_wins`` (default —
+    higher op_sequence wins) or ``first_write_wins`` (an existing row
+    is never overwritten; batch events only fill absent keys)."""
     from nebula_spark.cdc.dedup import lww_dedup  # lazy: avoids lake<->cdc cycle
 
     t0 = time.time()
@@ -289,10 +311,13 @@ def merge_into(
             else:
                 strategy = "fullouter"
 
+        fww = conflict == "first_write_wins"
         deduped = (
             batch
             if already_deduped
-            else lww_dedup(batch, key=key, seq=seq_col, how=dedup_how)
+            else lww_dedup(
+                batch, key=key, seq=seq_col, how=dedup_how, first_writer_wins=fww
+            )
         )
         deduped = table.bucket_of(deduped)
         # the join/broadcast plans reference the batch twice (matched +
@@ -303,7 +328,7 @@ def merge_into(
             deduped = deduped.persist()
 
         merged = _resolve(
-            spark, table, deduped, affected, op_col, seq_col, strategy
+            spark, table, deduped, affected, op_col, seq_col, strategy, fww=fww
         )
 
         commit_dir = table.new_commit_dir()

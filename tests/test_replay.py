@@ -84,6 +84,32 @@ def test_resolve_strategies_equivalent(spark, tmp_path):
     )
 
 
+def test_first_write_wins_merge(spark, tmp_path):
+    """conflict='first_write_wins': existing rows are never overwritten
+    (internal/pipeline/cdc.go strategy surface); only absent keys fill."""
+    from pyspark.sql import functions as F
+
+    log1 = gen_binlog(spark, 2000, 150, seed=51)
+    # wider doc space: ids 150+ are new keys for the FWW insert path
+    log2 = gen_binlog(spark, 2000, 300, seed=52).withColumn(
+        "op_sequence", F.col("op_sequence") + 10_000
+    )
+    for strat in ("unionagg", "fullouter", "join"):
+        table = LakeTable.create(
+            str(tmp_path / f"t_{strat}"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+        )
+        merge_into(spark, table, log1, epoch=0, conflict="first_write_wins",
+                   resolve_strategy=strat)
+        state1 = {r["doc_id"]: r["tokens"] for r in table.read(spark).collect()}
+        merge_into(spark, table, log2, epoch=1, conflict="first_write_wins",
+                   resolve_strategy=strat)
+        state2 = {r["doc_id"]: r["tokens"] for r in table.read(spark).collect()}
+        # every previously present key kept its original image
+        assert all(state2[k] == v for k, v in state1.items())
+        # new keys from log2 did get inserted
+        assert len(state2) > len(state1)
+
+
 def test_out_of_order_batches_converge(spark, tmp_path):
     """The merge is sequence-aware (LWW by op_sequence with tombstones),
     so batches applied in ANY order converge to the same final state —
