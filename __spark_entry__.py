@@ -191,7 +191,57 @@ def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebula_spark.functions.dedupe import simhash64
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash64(_t(spark, sf_dir, "documents")).select("doc_id", "simbits")
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.dedupe import simhash64, simhash_near_pairs
+
+    return simhash_near_pairs(simhash64(_t(spark, sf_dir, "documents")))
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.text import words
+    from nebula_spark.functions.tokens import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w)).alias("tokens"),
+    )
+    return pack_sequences(docs, context_len=512, eos_token=0)
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through mapInPandas: documents as fake media
+    payloads (UTF-8 bytes), features fingerprinted back to the sha256
+    bytes both engines can derive."""
+    from nebula_spark.functions.multimodal import extract_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.length("text") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "feature_dim",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature", lambda v: F.round(v * 255).cast("int").cast("string")
+                ),
+            )
+        ).alias("feature_fp"),
+    )
 
 
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,10 +311,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _minhash,
         "dedup_ngram_jaccard": _jaccard,
         "dedup_simhash": _simhash,
+        "dedup_simhash_pairs": _simhash_pairs,
+        "pack_sequences": _pack_sequences,
+        "multimodal_features": _media_features,
         "events_sessionize": _sessionize,
         "text_word_histogram": _word_histogram,
         "text_quality": _text_quality,
     }
+
+
+# simhash bits re-derived in DuckDB exactly as the engine derives them:
+# bit j of a word = parity of hex char j of md5(w)||md5(w#1); per-doc
+# bit = majority vote over distinct words
+_SIMHASH_CTE = r"""
+ws AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS word FROM ws
+), hh AS (
+  SELECT doc_id, md5(word) || md5(word || '#1') AS h FROM tok
+), votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN substring(h, j + 1, 1) IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE -1 END) AS s
+  FROM hh, range(0, 64) t(j)
+  GROUP BY doc_id, j
+), sim AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simbits
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+def _lsh_bucket_sql() -> str:
+    """The same ±1 hyperplanes the engine uses, inlined as literals."""
+    from nebula_spark.functions.similarity import hyperplane_signs
+
+    planes = hyperplane_signs(n_planes=6, seed=42, dim=64)
+    return " || ".join(
+        "(CASE WHEN list_dot_product(emb, ["
+        + ",".join(f"{s:.1f}" for s in signs)
+        + "]::DOUBLE[]) > 0 THEN '1' ELSE '0' END)"
+        for signs in planes
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -306,8 +398,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "agg_events_by_type": """
+            -- CAST: DuckDB sum(BIGINT) yields HUGEINT (int128) whose
+            -- serialized form hash-mismatches Spark's long even when the
+            -- values are identical
             SELECT event_type, count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
@@ -434,6 +529,87 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * sw_ok, 4) AS quality
             FROM m
         """,
-        # dedup_simhash / ann_lsh_topk use xxhash64 (no DuckDB twin)
-        # → rows-only check.
+        "dedup_simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simbits FROM sim",
+        "dedup_simhash_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            bands AS (
+              SELECT doc_id, simbits, bd, substring(simbits, bd * 16 + 1, 16) AS key
+              FROM sim, range(0, 4) t(bd)
+            ), pairs AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     x.simbits AS sa, y.simbits AS sb
+              FROM bands x JOIN bands y
+                ON x.bd = y.bd AND x.key = y.key AND x.doc_id < y.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(len(list_filter(range(1, 65),
+                        i -> substring(sa, i, 1) <> substring(sb, i, 1))) AS INT)
+                     AS hamming
+            FROM pairs
+        """,
+        "ann_lsh_topk": f"""
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), bk AS (
+              SELECT vec_id, emb, {_lsh_bucket_sql()} AS bkt FROM c
+            ), q AS (
+              SELECT vec_id, emb, bkt FROM bk WHERE vec_id < 10
+            ), scored AS (
+              SELECT q.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                     round(list_dot_product(q.emb, cb.emb) /
+                           (sqrt(list_dot_product(q.emb, q.emb)) *
+                            sqrt(list_dot_product(cb.emb, cb.emb))), 6) AS score
+              FROM q JOIN bk cb ON q.bkt = cb.bkt AND q.vec_id <> cb.vec_id
+            )
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> CAST(length(x) AS INT)) AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks, len(toks) + 1 AS _len
+              FROM d WHERE len(toks) + 1 <= 512
+            ), c AS (
+              SELECT *, sum(_len) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM s
+            ), b AS (
+              SELECT *, CAST(floor((cum - _len) / 512) AS BIGINT) AS bin FROM c
+            ), packs AS (
+              SELECT bin AS pack_id,
+                     flatten(list(list_append(toks, 0) ORDER BY doc_id)) AS tokens,
+                     count(*) AS n_docs
+              FROM b GROUP BY bin
+            )
+            SELECT pack_id, tokens, CAST(len(tokens) AS INT) AS n_tok, n_docs
+            FROM packs
+        """,
+        "multimodal_features": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     CASE WHEN length(text) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                     text
+              FROM documents
+            ), h AS (
+              SELECT media_id, kind,
+                     CASE WHEN kind = 'audio' THEN sha256('audio' || text)
+                          ELSE sha256(text) END AS hx
+              FROM m
+            ), byt AS (
+              SELECT media_id, kind,
+                     list_transform(range(0, 16), i ->
+                       (strpos('0123456789abcdef', substring(hx, 2*i + 1, 1)) - 1) * 16 +
+                       (strpos('0123456789abcdef', substring(hx, 2*i + 2, 1)) - 1)) AS bl
+              FROM h
+            )
+            SELECT media_id, kind, CAST(16 AS INT) AS feature_dim,
+                   md5(array_to_string(bl, ',')) AS feature_fp
+            FROM byt
+        """,
     }

@@ -67,27 +67,25 @@ def _ensure_table(args):
 
 def cmd_ingest(args) -> dict:
     from nebula_spark.cdc.apply import apply_changes
-    from nebula_spark.lake.merge import append_into
+    from nebula_spark.cdc.snapshot import maybe_bootstrap
 
     spark = get_spark("nebula-ingest", parallelism=args.cpus)
     table = _ensure_table(args)
-    if args.bootstrap:
-        append_into(
-            spark,
-            table,
-            spark.read.parquet(args.bootstrap),
-            epoch=-1,
-            summary_op="bootstrap",
-        )
+    snapshot_info = maybe_bootstrap(spark, table, args.bootstrap, args.snapshot_mode)
+    # epoch = the chunk number itself (numeric, not listing position):
+    # a directory that appears between runs can never inherit an
+    # already-applied epoch and be silently skipped on resume
     chunks = sorted(
-        os.path.join(args.binlog, d)
+        (int(d.split("=", 1)[1]), os.path.join(args.binlog, d))
         for d in os.listdir(args.binlog)
         if d.startswith("_chunk=")
     )
     t0 = time.time()
     applied = skipped = events = 0
-    for i, chunk in enumerate(chunks):
-        res = apply_changes(spark, table, spark.read.parquet(chunk), epoch=i)
+    for epoch, chunk in chunks:
+        res = apply_changes(
+            spark, table, spark.read.parquet(chunk), epoch=epoch, conflict=args.conflict
+        )
         if res.merge.skipped:
             skipped += 1
         else:
@@ -100,21 +98,27 @@ def cmd_ingest(args) -> dict:
         "keys_merged": events,
         "seconds": round(dt, 2),
         "snapshot_version": table.snapshot().version,
+        "bootstrap": snapshot_info,
     }
 
 
 def cmd_stream(args) -> dict:
+    from nebula_spark.cdc.snapshot import maybe_bootstrap
     from nebula_spark.streaming.ingest import run_stream
 
     spark = get_spark("nebula-stream", parallelism=args.cpus)
     table = _ensure_table(args)
-    return run_stream(
+    snapshot_info = maybe_bootstrap(spark, table, args.bootstrap, args.snapshot_mode)
+    out = run_stream(
         spark,
         table,
         args.binlog,
         checkpoint_dir=args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
+        conflict=args.conflict,
     )
+    out["bootstrap"] = snapshot_info
+    return out
 
 
 def cmd_compact(args) -> dict:
@@ -191,6 +195,16 @@ def main(argv=None):
         s.add_argument("--binlog", required=True)
         s.add_argument("--buckets", type=int, default=16)
         s.add_argument("--bootstrap", default=None)
+        s.add_argument(
+            "--snapshot-mode",
+            choices=["initial", "never", "when_needed"],
+            default="initial",
+        )
+        s.add_argument(
+            "--conflict",
+            choices=["last_write_wins", "first_write_wins", "merge", "reject"],
+            default="last_write_wins",
+        )
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
             s.add_argument("--max-files-per-trigger", type=int, default=1)

@@ -55,6 +55,7 @@ def apply_changes(
     evolution_policy: str = "default",
     dedup_how: str = "agg",
     resolve_strategy: str | None = None,
+    conflict: str | None = None,
     dlq_table: LakeTable | None = None,
     count_inputs: bool = False,
 ) -> ApplyResult:
@@ -128,5 +129,28 @@ def apply_changes(
         dedup_how=os.environ.get("NEBULA_DEDUP_HOW", dedup_how),
         resolve_strategy=resolve_strategy
         or os.environ.get("NEBULA_RESOLVE_STRATEGY", "auto"),
+        conflict=conflict or os.environ.get("NEBULA_CONFLICT", "last_write_wins"),
     )
+    if res.merge.rejected is not None:
+        # conflict='reject': surfaced events go to the dead-letter
+        # table with a reason-stamped key (ingest QA reads them there)
+        try:
+            if dlq_table is not None and res.merge.rows_rejected:
+                from nebula_spark.lake.merge import append_into
+
+                rej = res.merge.rejected.withColumn(
+                    "event_key",
+                    F.concat_ws(
+                        ":", F.lit(str(epoch)), F.col("op_sequence"), F.lit("conflict")
+                    ),
+                )
+                # distinct manifest key: the malformed-event append above
+                # already recorded `epoch` on the DLQ table
+                append_into(
+                    spark, dlq_table, rej, epoch=f"c{epoch}", summary_op="dlq-conflict"
+                )
+                res.events_dlq += res.merge.rows_rejected
+        finally:
+            res.merge.rejected.unpersist()
+            res.merge.rejected = None
     return res

@@ -144,31 +144,51 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col="text", id_col=
     )
 
 
+# hex digits with an odd value — bit j of a word's hash is "is the j-th
+# hex char of md5(w)||md5(w#1) odd", a derivation DuckDB reproduces
+# verbatim (substring + IN list); see oracle_sql()['dedup_simhash']
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash per document: majority vote per bit over word
-    hashes (xxhash64). Shaped as explode → hash-aggregate with 64
-    codegen'd SUMs (partial agg map-side; one shuffle keyed by doc) —
-    the scan-shaped plan that survives 10^9 documents, instead of 64
-    array traversals per row."""
+    hashes. Word bits come from md5 (two md5s = 64 hex chars, bit j =
+    parity of char j) so the DuckDB oracle re-derives the exact hashes
+    — the same trick minhash_signature uses. Shaped as explode →
+    hash-aggregate with 64 codegen'd SUMs (partial agg map-side; one
+    shuffle keyed by doc) — the scan-shaped plan that survives 10^9
+    documents, instead of 64 array traversals per row.
+
+    Output: (id, simhash long — Spark-internal bit ops, e.g. banding /
+    xor-popcount; simbits string — the 64-char '0'/'1' form the oracle
+    compares)."""
     c = F.col(text_col)
     df = spread(df)
+    w = F.col("_w")
     exploded = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(words(F.lower(c)))).alias("_w"),
-    ).select(F.col(id_col), F.xxhash64("_w").alias("_h"))
+    ).select(
+        F.col(id_col),
+        F.concat(F.md5(w), F.md5(F.concat(w, F.lit("#1")))).alias("_hh"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.substring(F.col("_hh"), j + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
         ).alias(f"_b{j}")
         for j in range(64)
     ]
     agg = exploded.groupBy(id_col).agg(*votes)
+    bits = [(F.col(f"_b{j}") > 0).cast("long") for j in range(64)]
     out = F.lit(0).cast("long")
-    for j in range(64):
-        out = out + F.shiftleft((F.col(f"_b{j}") > 0).cast("long"), j)
-    return agg.select(F.col(id_col), out.alias("simhash"))
+    for j, b in enumerate(bits):
+        out = out + F.shiftleft(b, j)  # j=63 wraps to the sign bit — intended
+    simbits = F.concat(*[b.cast("string") for b in bits])
+    return agg.select(
+        F.col(id_col), out.alias("simhash"), simbits.alias("simbits")
+    )
 
 
 def simhash_near_pairs(

@@ -60,30 +60,38 @@ def brute_topk(
     )
 
 
+def hyperplane_signs(
+    n_planes: int = 8, seed: int = 42, dim: int = 64
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix derived from md5(seed:i:j) —
+    plain Python, so the SAME literals can be inlined into any engine's
+    query (the DuckDB oracle uses them verbatim); no stored model, no
+    engine-specific hash."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] & 1 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim: int = 64) -> Column:
-    """Sign-bit LSH bucket id: bit i = sign(<v, h_i>) where h_i is a
-    deterministic pseudo-random hyperplane derived from (seed, i, j)
-    via xxhash64 — reproducible on any engine, no stored model."""
+    """Sign-bit LSH bucket key: char i = sign(<v, h_i>) over the
+    deterministic hyperplanes above; returned as an n_planes-char
+    '0'/'1' string (equi-joinable, engine-portable)."""
     bits = []
-    for i in range(n_planes):
-        # h_i[j] in {-1, +1} from a hash of (i, j)
+    for signs in hyperplane_signs(n_planes, seed, dim):
+        plane = F.array(*[F.lit(s) for s in signs])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(F.lit(seed + i), j), F.lit(2)) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append((proj > 0).cast("long"))
-    out = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        out = out + F.shiftleft(b, i)
-    return out
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
 
 
 def lsh_topk(

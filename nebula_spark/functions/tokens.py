@@ -66,35 +66,79 @@ def pack_sequences(
     id_col: str = "doc_id",
     eos_token: int = 0,
 ) -> DataFrame:
-    """Greedy sequence packing for training: concatenate docs into
-    fixed-length contexts (docs separated by eos). Implemented per
-    partition with a running-length window — one shuffle by pack key.
+    """Deterministic sequence packing for training: concatenate docs
+    (each followed by eos) into packs of ~context_len tokens, binned by
+    the doc's global token offset in ``id_col`` order. A doc belongs
+    wholly to the pack its first token falls in — packs are therefore
+    context_len ± one straddling doc, never a split or truncated
+    document.
 
-    This is the canonical 'what a training-data pipeline needs' op the
-    reference has no analogue for: output rows are (pack_id, tokens
-    array<int> of exactly context_len, n_docs)."""
+    The result is a pure function of the input rows: the global offset
+    is an exact prefix sum over the total ``id_col`` order, computed in
+    two phases so no stage is single-task —
+
+    1. range-repartition on the id, per-partition running sum (window
+       within partition);
+    2. per-partition totals (one tiny collect, ≤ #partitions rows)
+       ordered by each partition's min id → broadcast base offsets.
+
+    Same packs at local[1] and local[1000], any input split layout.
+    Output: (pack_id long, tokens array, n_tok int, n_docs long)."""
     from pyspark.sql import Window
 
     sized = df.select(
         F.col(id_col),
         F.col(tokens_col),
         (F.size(tokens_col) + 1).alias("_len"),  # + eos
-    ).filter(F.size(tokens_col) < context_len)
-    # running total within shuffle partition → greedy bin id
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(id_col)
-    packed = sized.withColumn("_cum", F.sum("_len").over(w)).withColumn(
-        "_bin", F.floor((F.col("_cum") - 1) / context_len)
+    ).filter(F.size(tokens_col) + 1 <= context_len)
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    parted = sized.repartitionByRange(n_parts, id_col).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    agg = packed.groupBy(F.spark_partition_id().alias("_part"), "_bin").agg(
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local = parted.withColumn("_lcum", F.sum("_len").over(w)).persist()
+
+    # phase 2: base offset per partition. Partition boundaries may vary
+    # run-to-run (range sampling), but offsets keyed by each partition's
+    # min id reconstruct the SAME global prefix sum regardless.
+    totals = sorted(
+        local.groupBy("_pid").agg(
+            F.sum("_len").alias("_tot"), F.min(id_col).alias("_mn")
+        ).collect(),
+        key=lambda r: r["_mn"],
+    )
+    rows, base = [], 0
+    for r in totals:
+        rows.append((r["_pid"], base))
+        base += r["_tot"]
+    if not rows:
+        rows = [(0, 0)]
+    off = spark.createDataFrame(rows, "_pid int, _off long")
+
+    binned = local.join(F.broadcast(off), "_pid", "left").withColumn(
+        "_start", F.col("_lcum") - F.col("_len") + F.coalesce("_off", F.lit(0))
+    ).withColumn("_bin", F.floor(F.col("_start") / context_len))
+
+    agg = binned.groupBy("_bin").agg(
         F.flatten(
             F.transform(
-                F.collect_list(tokens_col), lambda t: F.concat(t, F.array(F.lit(eos_token)))
+                # array_sort on (id, tokens) structs → concatenation
+                # order is the id order, independent of task order
+                F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col(tokens_col)))),
+                lambda s: F.concat(
+                    s[tokens_col], F.array(F.lit(eos_token).cast("int"))
+                ),
             )
-        ).alias("_toks"),
+        ).alias("tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+    # `local` stays persisted until evaluation (the offsets were computed
+    # from this materialization); Spark evicts it LRU afterwards
     return agg.select(
-        F.concat_ws("-", F.col("_part"), F.col("_bin")).alias("pack_id"),
-        F.slice("_toks", 1, context_len).alias("tokens"),
+        F.col("_bin").cast("long").alias("pack_id"),
+        "tokens",
+        F.size("tokens").alias("n_tok"),
         "n_docs",
     )

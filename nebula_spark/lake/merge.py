@@ -81,6 +81,7 @@ def _resolve(
     seq_col: str,
     strategy: str = "broadcast",
     fww: bool = False,
+    fieldmerge: bool = False,
 ) -> DataFrame:
     """Order-independent LWW resolution of batch vs target.
 
@@ -98,21 +99,44 @@ def _resolve(
     b = _as_table_rows(deduped, table, op_col, seq_col)
     target = table.read(spark, buckets=affected, include_internal=True)
 
+    def winner_col(c: str):
+        """Value of column ``c`` when the batch row wins a matched key.
+        Plain LWW takes the batch image; field-level ``merge`` (ref
+        internal/pipeline/cdc.go:208-211) coalesces batch-over-target
+        per column so a partial update (null batch field) keeps the
+        stored value. DELETEs never coalesce — a tombstone's payload
+        stays null."""
+        bc = F.col(f"b.{c}")
+        if not fieldmerge or c in (key, SEQ_COL, DELETED_COL):
+            return bc
+        return F.when(F.col(f"b.{DELETED_COL}"), bc).otherwise(
+            F.coalesce(bc, F.col(f"t.{c}"))
+        )
+
     if strategy == "unionagg":
+        if fieldmerge:
+            # field-level merge needs both row images side by side; the
+            # single-agg reduction can't coalesce across rows
+            raise ValueError("conflict='merge' requires a join-family resolve strategy")
         # one hash aggregation over (target ∪ batch): per key keep the
         # row with max _seq — identical LWW semantics, single shuffle,
         # partial agg combines map-side. Fewer stages than the join
         # plan; preferable when the touched buckets are comparable in
         # size to the batch (e.g. bulk replay). The join plan wins when
         # the table dwarfs the batch (target never shuffles there).
-        # FWW: existing rows outrank any batch event (precedence field).
-        pri_t, pri_b = (F.lit(1), F.lit(0)) if fww else (F.lit(0), F.lit(0))
-        everything = target.withColumn("_pri", pri_t).unionByName(
-            b.withColumn("_pri", pri_b)
+        # Precedence field: target rows outrank batch rows on ties, so
+        # a same-seq re-sent event with a different image can never flip
+        # the row (mirrors the strict `b_seq > t_seq` rule of the join
+        # plans). FWW puts _pri first (target always wins); LWW puts
+        # _seq first (_pri only breaks exact-seq ties).
+        everything = target.withColumn("_pri", F.lit(1)).unionByName(
+            b.withColumn("_pri", F.lit(0))
+        )
+        head = (
+            (F.col("_pri"), F.col(SEQ_COL)) if fww else (F.col(SEQ_COL), F.col("_pri"))
         )
         packed = F.struct(
-            F.col("_pri"),
-            F.col(SEQ_COL),
+            *head,
             *[F.col(c) for c in b.columns if c != SEQ_COL and c != key],
         )
         reduced = everything.groupBy(key).agg(F.max(packed).alias("_e"))
@@ -139,7 +163,7 @@ def _resolve(
         cols = [
             F.coalesce(F.col(f"b.{key}"), F.col(f"t.{key}")).alias(key)
             if c == key
-            else F.when(b_wins, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            else F.when(b_wins, winner_col(c)).otherwise(F.col(f"t.{c}")).alias(c)
             for c in b.columns
         ]
         return table.bucket_of(f.select(*cols))
@@ -159,7 +183,7 @@ def _resolve(
     )
     resolved = joined.select(
         *[
-            F.when(b_wins, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            F.when(b_wins, winner_col(c)).otherwise(F.col(f"t.{c}")).alias(c)
             for c in b.columns
         ]
     )
@@ -171,6 +195,9 @@ def _resolve(
     return table.bucket_of(resolved.unionByName(inserts))
 
 
+CONFLICT_STRATEGIES = ("last_write_wins", "first_write_wins", "merge", "reject")
+
+
 @dataclass
 class MergeResult:
     skipped: bool = False
@@ -180,9 +207,13 @@ class MergeResult:
     buckets_touched: int = 0
     rows_upserted: int = 0
     rows_deleted: int = 0
+    rows_rejected: int = 0
     seconds: float = 0.0
     partitions: dict = field(default_factory=dict)
     version: int | None = None
+    # conflict='reject': the surfaced conflicting events, persisted —
+    # the caller routes them (DLQ) and unpersists
+    rejected: DataFrame | None = None
 
 
 def append_into(
@@ -190,7 +221,7 @@ def append_into(
     table: LakeTable,
     df: DataFrame,
     *,
-    epoch: int | None = None,
+    epoch: int | str | None = None,
     summary_op: str = "append",
 ) -> int:
     """Idempotent append (no key matching) — used for the bootstrap
@@ -238,12 +269,28 @@ def merge_into(
     plus ``op_col``/``seq_col`` (and optionally ``partition_col`` for
     per-source-partition lineage offsets).
 
-    ``conflict`` mirrors the reference's resolver strategies
-    (internal/pipeline/cdc.go:197-221): ``last_write_wins`` (default —
-    higher op_sequence wins) or ``first_write_wins`` (an existing row
-    is never overwritten; batch events only fill absent keys)."""
+    ``conflict`` mirrors the reference's four resolver strategies
+    (internal/pipeline/cdc.go:197-221):
+
+    - ``last_write_wins`` (default) — higher op_sequence wins.
+    - ``first_write_wins`` — an existing row is never overwritten;
+      batch events only fill absent keys.
+    - ``merge`` — field-level merge: the winning batch event updates a
+      matched row column-by-column, null batch fields keeping the
+      stored value (partial updates). Within-batch conflicts still
+      reduce LWW first.
+    - ``reject`` — a batch event whose key already exists live in the
+      target is a conflict: it is NOT applied and is surfaced on
+      ``MergeResult.rejected`` (persisted; caller routes to DLQ and
+      unpersists). New keys (and keys present only as tombstones)
+      apply normally.
+    """
     from nebula_spark.cdc.dedup import lww_dedup  # lazy: avoids lake<->cdc cycle
 
+    if conflict not in CONFLICT_STRATEGIES:
+        raise ValueError(
+            f"unknown conflict strategy {conflict!r}; one of {CONFLICT_STRATEGIES}"
+        )
     t0 = time.time()
     res = MergeResult(epoch=epoch)
     key = table.key_col
@@ -265,12 +312,19 @@ def merge_into(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col(op_col) == DELETE_OP).cast("long")).alias("n_del"),
             F.max(seq_col).alias("mx"),
+            F.approx_count_distinct(key).alias("nk"),
         ).collect()
         affected = sorted({int(r["_bucket"]) for r in stats})
         res.events_in = int(sum(r["n"] for r in stats))
         res.rows_deleted = int(sum(r["n_del"] for r in stats))
         res.rows_upserted = res.events_in - res.rows_deleted
-        res.keys_touched = res.events_in  # pre-dedup upper bound
+        # approx distinct keys, free in the same agg; summed per stats
+        # cell it can double-count a key spanning source partitions, so
+        # it stays a (tight) upper bound — good as the broadcast
+        # threshold, honest as a metric
+        res.keys_touched = min(
+            int(sum(r["nk"] for r in stats)), res.events_in
+        )
         res.buckets_touched = len(affected)
 
         if len(grain) > 1:
@@ -304,7 +358,7 @@ def merge_into(
             #   left-join plan would shuffle the table AND scan it twice)
             limit = int(os.environ.get("NEBULA_UNIONAGG_MAX_BYTES", 256 * 1024 * 1024))
             small_batch = int(os.environ.get("NEBULA_BROADCAST_MAX_KEYS", 200_000))
-            if table.bucket_bytes(affected) < limit:
+            if table.bucket_bytes(affected) < limit and conflict != "merge":
                 strategy = "unionagg"
             elif res.keys_touched < small_batch:
                 strategy = "join"
@@ -319,6 +373,22 @@ def merge_into(
                 batch, key=key, seq=seq_col, how=dedup_how, first_writer_wins=fww
             )
         )
+        if conflict == "reject":
+            # conflict = key already live in the target: surface those
+            # events instead of applying them; the remainder merges
+            # normally (tombstoned keys still respect LWW vs the
+            # tombstone's _seq). Materialized eagerly — after the
+            # commit the target state changes and a lazy plan would
+            # recompute a different set.
+            live = (
+                table.read(spark, buckets=affected, include_internal=True)
+                .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+                .select(key)
+            )
+            rejected = deduped.join(live, on=key, how="leftsemi").persist()
+            res.rows_rejected = rejected.count()
+            res.rejected = rejected
+            deduped = deduped.join(live, on=key, how="leftanti")
         deduped = table.bucket_of(deduped)
         # the join/broadcast plans reference the batch twice (matched +
         # inserts); single-pass plans (unionagg/fullouter) keep it lazy
@@ -328,7 +398,15 @@ def merge_into(
             deduped = deduped.persist()
 
         merged = _resolve(
-            spark, table, deduped, affected, op_col, seq_col, strategy, fww=fww
+            spark,
+            table,
+            deduped,
+            affected,
+            op_col,
+            seq_col,
+            strategy,
+            fww=fww,
+            fieldmerge=conflict == "merge",
         )
 
         commit_dir = table.new_commit_dir()

@@ -101,6 +101,12 @@ class Snapshot:
         return self.raw.get("applied", {})
 
 
+class ConcurrentBucketConflict(RuntimeError):
+    """Two writers rewrote the same bucket concurrently — the loser must
+    recompute its merge against the new snapshot (Iceberg's
+    CommitFailedException for genuine data conflicts)."""
+
+
 class LakeTable:
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
@@ -216,6 +222,18 @@ class LakeTable:
         tmp.close()
         os.rename(tmp.name, self._meta(HEAD_FILE))
 
+    def _buckets_changed_by(self, version: int) -> set[int]:
+        """Buckets whose file list differs between snapshot ``version``
+        and its parent — the conflict footprint of that commit."""
+        snap = self.snapshot(version)
+        parent_v = snap.raw.get("parent")
+        parent_files = {} if parent_v is None else self.snapshot(parent_v).files
+        changed: set[int] = set()
+        for b in set(snap.files) | set(parent_files):
+            if snap.files.get(b) != parent_files.get(b):
+                changed.add(int(b))
+        return changed
+
     def commit(
         self,
         *,
@@ -232,11 +250,12 @@ class LakeTable:
 
         Optimistic concurrency: if another writer created the same
         snapshot version (O_EXCL failure), re-read HEAD and rebase the
-        commit — the Iceberg CommitFailedException-retry pattern. Safe
-        because this commit's file changes touch only buckets this
-        writer computed against; a genuine bucket conflict would need
-        external coordination (single-writer-per-table is the deployed
-        mode, as in the reference)."""
+        commit — the Iceberg CommitFailedException-retry pattern. The
+        rebase is only legal when the intervening commits touched a
+        DISJOINT set of buckets (this writer resolved its batch against
+        stale bucket contents otherwise); an overlap raises
+        ``ConcurrentBucketConflict`` instead of silently dropping the
+        other writer's files."""
         cur = self.snapshot()
         raw = json.loads(json.dumps(cur.raw))  # deep copy
         version = cur.version + 1
@@ -267,6 +286,20 @@ class LakeTable:
         except FileExistsError:
             if _retries <= 0:
                 raise
+            mine = {int(b) for b in replaced_buckets} | {
+                int(b) for b in (new_files_by_bucket or {})
+            }
+            if mine:
+                head = self._head_version()
+                for v in range(version, head + 1):
+                    theirs = self._buckets_changed_by(v)
+                    overlap = mine & theirs
+                    if overlap:
+                        raise ConcurrentBucketConflict(
+                            f"commit lost race on version {v}: buckets "
+                            f"{sorted(overlap)} were rewritten by a concurrent "
+                            f"commit; re-run the merge against the new snapshot"
+                        )
             return self.commit(
                 new_files_by_bucket=new_files_by_bucket,
                 replaced_buckets=replaced_buckets,

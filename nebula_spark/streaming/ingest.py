@@ -38,6 +38,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     event_filter: EventFilter | None = None,
     evolution_policy: str = "default",
+    conflict: str | None = None,
     dlq_table: LakeTable | None = None,
     available_now: bool = True,
     schema=None,
@@ -59,6 +60,7 @@ def run_stream(
             epoch=batch_id,
             event_filter=event_filter,
             evolution_policy=evolution_policy,
+            conflict=conflict,
             dlq_table=dlq_table,
         )
         ingest_metrics.record(res)

@@ -48,9 +48,29 @@ def test_pack_sequences_shape(spark):
     packed = pack_sequences(base, context_len=256, eos_token=0)
     rows = packed.collect()
     assert len(rows) > 0
-    assert all(len(r["tokens"]) <= 256 for r in rows)
-    # packing is lossy only at pack boundaries; total docs preserved
+    # a pack is context_len ± the straddling doc (never split/truncated)
+    assert all(len(r["tokens"]) <= 256 + 65 for r in rows)
+    assert all(r["n_tok"] == len(r["tokens"]) for r in rows)
+    # lossless: every doc lands in exactly one pack, every token kept
     assert sum(r["n_docs"] for r in rows) == 500
+    n_in = base.select(F.sum(F.size("tokens") + 1)).first()[0]
+    assert sum(len(r["tokens"]) for r in rows) == n_in
+
+
+def test_pack_sequences_deterministic_across_layout(spark):
+    """Same packs whatever the input partitioning / task order — the
+    property the round-1 implementation lacked."""
+    base = gen_base_table(spark, 400, seed=9, max_tok=48)
+    a = {r["pack_id"]: r["tokens"] for r in pack_sequences(base, 128).collect()}
+    b = {
+        r["pack_id"]: r["tokens"]
+        for r in pack_sequences(base.repartition(13), 128).collect()
+    }
+    c = {
+        r["pack_id"]: r["tokens"]
+        for r in pack_sequences(base.coalesce(1), 128).collect()
+    }
+    assert a == b == c
 
 
 def test_multimodal_feature_extraction(spark):
