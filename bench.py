@@ -114,6 +114,8 @@ def run_queries(spark, sf_dir: str) -> dict:
         "ann_cosine_topk",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "pack_sequences",
+        "multimodal_features",
     ]
     qs = entry.queries()
     out = {}

@@ -53,6 +53,7 @@ def apply_changes(
     event_filter: EventFilter | None = None,
     transforms: list[Transform] | None = None,
     evolution_policy: str = "default",
+    renames: dict[str, str] | None = None,
     dedup_how: str = "agg",
     resolve_strategy: str | None = None,
     conflict: str | None = None,
@@ -108,11 +109,20 @@ def apply_changes(
     if bad_cols:
         raise ValueError(f"batch uses reserved columns {bad_cols}")
     new_user, changes = evolve_schema(
-        table.user_schema, payload_schema(df, table), policy=evolution_policy
+        table.user_schema,
+        payload_schema(df, table),
+        policy=evolution_policy,
+        renames=renames,
     )
     if changes:
+        from nebula_spark.evolution.schema_evolution import RENAME_FIELD
+
+        applied_renames = {
+            c.field: c.to_type for c in changes if c.kind == RENAME_FIELD
+        }
         table.commit(
             new_schema=T.StructType(list(new_user.fields) + INTERNAL_FIELDS),
+            renames=applied_renames or None,
             summary={
                 "operation": "evolve-schema",
                 "changes": [c.__dict__ for c in changes],

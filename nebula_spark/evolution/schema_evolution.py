@@ -22,6 +22,7 @@ ADD_FIELD = "ADD_FIELD"
 REMOVE_FIELD = "REMOVE_FIELD"
 MODIFY_TYPE = "MODIFY_TYPE"
 MODIFY_REQUIRED = "MODIFY_REQUIRED"
+RENAME_FIELD = "RENAME_FIELD"
 
 # widening lattice (evolution.go:327-350 allows integer→float→string;
 # we keep the numeric widenings that are lossless on the lake side and
@@ -120,6 +121,7 @@ def evolve_schema(
     table_schema: T.StructType,
     batch_schema: T.StructType,
     policy: str = "default",
+    renames: dict[str, str] | None = None,
 ) -> tuple[T.StructType, list[SchemaChange]]:
     """Merge an incoming batch schema into the table schema
     (strategies, evolution.go:394-515):
@@ -130,7 +132,33 @@ def evolve_schema(
       or removal raises.
     - ``flexible`` — like default but irreconcilable type conflicts
       degrade to string.
+
+    ``renames`` maps old table column → new source column (the
+    reference's declared-rename migration, pkg/schema/migration.go:
+    233-256): the table column is carried forward under its new name
+    (history preserved) instead of being treated as drop+add.
     """
+    changes_pre: list[SchemaChange] = []
+    if renames:
+        batch_names = {f.name for f in batch_schema.fields}
+        table_names = {f.name for f in table_schema.fields}
+        eff = []
+        for f in table_schema.fields:
+            new_name = renames.get(f.name)
+            if new_name and new_name not in table_names:
+                if new_name not in batch_names:
+                    raise ValueError(
+                        f"declared rename {f.name!r}->{new_name!r} but the "
+                        f"batch has no column {new_name!r}"
+                    )
+                changes_pre.append(
+                    SchemaChange(RENAME_FIELD, f.name, None, new_name)
+                )
+                eff.append(T.StructField(new_name, f.dataType, f.nullable))
+            else:
+                eff.append(f)
+        table_schema = T.StructType(eff)
+
     table_f = {f.name: f for f in table_schema.fields}
     out: list[T.StructField] = []
     changes: list[SchemaChange] = []
@@ -167,4 +195,4 @@ def evolve_schema(
             out.append(T.StructField(b.name, b.dataType, True))
             changes.append(SchemaChange(ADD_FIELD, b.name, None, _tname(b.dataType)))
 
-    return T.StructType(out), changes
+    return T.StructType(out), changes_pre + changes

@@ -86,6 +86,8 @@ def pack_sequences(
     Output: (pack_id long, tokens array, n_tok int, n_docs long)."""
     from pyspark.sql import Window
 
+    from pyspark.sql import types as T
+
     sized = df.select(
         F.col(id_col),
         F.col(tokens_col),
@@ -94,9 +96,32 @@ def pack_sequences(
 
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    parted = sized.repartitionByRange(n_parts, id_col).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    id_type = sized.schema[id_col].dataType
+    if isinstance(id_type, T.NumericType):
+        # numeric id: bucket on explicit quantile boundaries — the
+        # window's own hash exchange on _pid is then the ONLY shuffle
+        # before the pack groupBy (repartitionByRange + window would
+        # shuffle the token payload twice). Boundary placement doesn't
+        # affect the output (any contiguous id-range split reconstructs
+        # the same global prefix sum), so approx quantiles are fine.
+        probs = [i / n_parts for i in range(1, n_parts)]
+        splits = sorted(set(sized.stat.approxQuantile(id_col, probs, 0.001)))
+        if splits:
+            barr = F.array(*[F.lit(float(b)) for b in splits])
+            pid = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + (F.col(id_col).cast("double") > b).cast("int"),
+            )
+        else:
+            pid = F.lit(0)
+        parted = sized.withColumn("_pid", pid)
+    else:
+        # non-numeric id: range-partition then use the physical
+        # partition id (one extra exchange, still deterministic)
+        parted = sized.repartitionByRange(n_parts, id_col).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     w = Window.partitionBy("_pid").orderBy(id_col)
     local = parted.withColumn("_lcum", F.sum("_len").over(w)).persist()
 

@@ -100,6 +100,11 @@ class Snapshot:
         """epoch(str) -> {"partitions": {pid: max_op_sequence}, "events": n}"""
         return self.raw.get("applied", {})
 
+    @property
+    def renames(self) -> dict[str, str]:
+        """historical column name -> current name (chains collapsed)"""
+        return self.raw.get("renames", {})
+
 
 class ConcurrentBucketConflict(RuntimeError):
     """Two writers rewrote the same bucket concurrently — the loser must
@@ -240,6 +245,7 @@ class LakeTable:
         new_files_by_bucket: dict[int, list[str]] | None = None,
         replaced_buckets: Iterable[int] = (),
         new_schema: T.StructType | None = None,
+        renames: dict[str, str] | None = None,
         applied_update: dict | None = None,
         summary: dict | None = None,
         _retries: int = 3,
@@ -264,6 +270,18 @@ class LakeTable:
         if new_schema is not None and new_schema.jsonValue() != cur.schema.jsonValue():
             raw["schema_version"] = cur.schema_version + 1
             raw["schemas"][str(raw["schema_version"])] = new_schema.jsonValue()
+        if renames:
+            if raw["key_col"] in renames:
+                raise ValueError(f"cannot rename the merge key {raw['key_col']!r}")
+            # collapse chains (a->b recorded, now b->c => a->c, b->c) so
+            # old files always map straight to the current name
+            hist = dict(raw.get("renames", {}))
+            for old, new in renames.items():
+                for o, n in list(hist.items()):
+                    if n == old:
+                        hist[o] = new
+                hist[old] = new
+            raw["renames"] = hist
         sv = raw["schema_version"]
         files = {int(b): fs for b, fs in raw["files"].items()}
         for b in replaced_buckets:
@@ -378,10 +396,22 @@ class LakeTable:
         if not by_sv:
             out = spark.createDataFrame([], cur_schema)
         else:
+            renames = snap.renames
             parts: list[DataFrame] = []
             for sv, paths in sorted(by_sv.items()):
                 file_schema = T.StructType.fromJson(snap.raw["schemas"][str(sv)])
                 df = spark.read.schema(file_schema).parquet(*paths)
+                # files written before a declared rename carry the old
+                # column name — map it to the current one so the
+                # renamed column's history survives (the reference's
+                # rename migration, pkg/schema/migration.go:233-256)
+                to_rename = {
+                    old: new
+                    for old, new in renames.items()
+                    if old in df.columns and new not in df.columns
+                }
+                if to_rename:
+                    df = df.withColumnsRenamed(to_rename)
                 parts.append(align_to_schema(df, cur_schema))
             out = parts[0]
             for p in parts[1:]:

@@ -21,6 +21,30 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def find_jdbc_jar() -> str | None:
+    """A DuckDB JDBC driver jar if one is cached locally (the public
+    Maven artifact ``org.duckdb:duckdb_jdbc``) — lets the JDBCSource
+    smoke test run against an in-memory database with no server.
+    Override with ``NEBULA_JDBC_JAR``; returns None when absent."""
+    import glob
+
+    env = os.environ.get("NEBULA_JDBC_JAR")
+    if env:
+        return env if os.path.exists(env) else None
+    for pat in (
+        "~/.cache/coursier/**/duckdb_jdbc*.jar",
+        "~/.m2/**/duckdb_jdbc*.jar",
+        "~/.ivy2/**/duckdb_jdbc*.jar",
+    ):
+        base = os.path.expanduser(pat.split("**")[0])
+        if not os.path.isdir(base):
+            continue
+        hits = glob.glob(os.path.expanduser(pat), recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
 def get_spark(
     app_name: str = "nebula_spark",
     parallelism: int | None = None,
@@ -60,6 +84,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    jdbc_jar = find_jdbc_jar()
+    if jdbc_jar:
+        builder = builder.config("spark.jars", jdbc_jar)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

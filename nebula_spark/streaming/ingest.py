@@ -38,6 +38,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     event_filter: EventFilter | None = None,
     evolution_policy: str = "default",
+    renames: dict[str, str] | None = None,
     conflict: str | None = None,
     dlq_table: LakeTable | None = None,
     available_now: bool = True,
@@ -60,6 +61,7 @@ def run_stream(
             epoch=batch_id,
             event_filter=event_filter,
             evolution_policy=evolution_policy,
+            renames=renames,
             conflict=conflict,
             dlq_table=dlq_table,
         )

@@ -123,3 +123,66 @@ def test_redelivery_after_evolution_is_noop(spark, tmp_path):
     res = apply_changes(spark, table, v2, epoch=0)
     assert res.merge.skipped
     assert table.snapshot().version == v_before
+
+
+def test_rename_migration_keeps_history(spark, tmp_path):
+    """A declared source rename (pkg/schema/migration.go:233-256) carries
+    the old column's data forward under the new name instead of
+    drop+add (which would null the renamed column's history)."""
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+
+    v1 = gen_binlog(spark, 1000, 120, seed=31)
+    apply_changes(spark, table, v1, epoch=0)
+    old = {r["doc_id"]: r["source"] for r in table.read(spark).collect()}
+
+    # the source system renamed `source` -> `origin`; only some keys update
+    v2 = (
+        gen_binlog(spark, 300, 40, seed=32)
+        .withColumn("op_sequence", F.col("op_sequence") + 10_000)
+        .withColumnRenamed("source", "origin")
+    )
+    res = apply_changes(spark, table, v2, epoch=1, renames={"source": "origin"})
+    assert res.schema_changes >= 1
+
+    final = table.read(spark)
+    assert "origin" in final.columns and "source" not in final.columns
+    got = {r["doc_id"]: r["origin"] for r in final.collect()}
+    touched = {r["doc_id"] for r in v2.select("doc_id").distinct().collect()}
+    # every key NOT touched by v2 still carries its v1 value — history kept
+    for k, v in old.items():
+        if k not in touched:
+            assert got[k] == v, k
+    # rename map is persisted for future readers
+    assert table.snapshot().renames == {"source": "origin"}
+
+    # redelivering the evolved batch stays a no-op
+    res2 = apply_changes(spark, table, v2, epoch=1, renames={"source": "origin"})
+    assert res2.merge.skipped
+
+
+def test_rename_chain_collapses(spark, tmp_path):
+    """a->b then b->c: files written as `a` must map straight to `c`."""
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
+    v1 = gen_binlog(spark, 200, 30, seed=33)
+    apply_changes(spark, table, v1, epoch=0)
+    v2 = gen_binlog(spark, 50, 10, seed=34).withColumn(
+        "op_sequence", F.col("op_sequence") + 1000
+    ).withColumnRenamed("source", "src_b")
+    apply_changes(spark, table, v2, epoch=1, renames={"source": "src_b"})
+    v3 = gen_binlog(spark, 50, 10, seed=35).withColumn(
+        "op_sequence", F.col("op_sequence") + 2000
+    ).withColumnRenamed("source", "src_c")
+    apply_changes(spark, table, v3, epoch=2, renames={"src_b": "src_c"})
+
+    assert table.snapshot().renames == {"source": "src_c", "src_b": "src_c"}
+    final = table.read(spark)
+    assert "src_c" in final.columns
+    assert final.filter(F.col("src_c").isNotNull()).count() > 0
+
+
+def test_rename_key_column_rejected(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
+    import pytest
+
+    with pytest.raises(ValueError, match="merge key"):
+        table.commit(renames={"doc_id": "document_id"})

@@ -113,3 +113,55 @@ def test_compaction_watermark_keeps_recent_tombstones(spark, tmp_path):
     assert remaining.filter(F.col("_seq") < mid).count() == 0
     # late tombstones survive to defend against out-of-order stragglers
     assert remaining.count() == remaining.filter(F.col("_seq") >= mid).count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC write path (ref S3 sink format matrix, destinations/s3/
+    s3_destination.go:398-427) — Spark-native, zlib-compressed here
+    because ORC names its codecs differently from parquet."""
+    df = spark.range(500).selectExpr(
+        "cast(id as string) AS k", "id * 2 AS v", "array(id, id + 1) AS arr"
+    )
+    out = str(tmp_path / "orc")
+    FileSink(out, format="orc", compression="zlib", mode="overwrite").write(df)
+    back = spark.read.orc(out)
+    assert back.count() == 500
+    assert {f.name for f in back.schema.fields} == {"k", "v", "arr"}
+    assert back.filter("v = 998").first()["arr"] == [499, 500]
+
+
+def test_avro_roundtrip_if_available(spark, tmp_path):
+    """Avro needs the external spark-avro package (same situation as the
+    reference needing its avro lib); skip cleanly when absent."""
+    import pytest
+
+    df = spark.range(100).selectExpr("cast(id as string) AS k", "id AS v")
+    out = str(tmp_path / "avro")
+    try:
+        FileSink(out, format="avro", compression=None, mode="overwrite").write(df)
+    except Exception as e:
+        pytest.skip(f"spark-avro not on classpath: {type(e).__name__}")
+    assert spark.read.format("avro").load(out).count() == 100
+
+
+def test_jdbc_source_smoke_if_driver(spark, tmp_path):
+    """JDBC batch scan (ref sources/postgresql/postgresql_source.go:
+    248-354) against an in-memory DuckDB over its JDBC driver — no
+    server needed; skips when no driver jar is cached locally."""
+    import pytest
+
+    from nebula_spark.io.sources import JDBCSource
+    from nebula_spark.session import find_jdbc_jar
+
+    if not find_jdbc_jar() or "duckdb" not in (spark.conf.get("spark.jars") or ""):
+        pytest.skip("no local JDBC driver jar")
+
+    src = JDBCSource(
+        url="jdbc:duckdb:",
+        query="SELECT i AS id, i * 2 AS v, 'r' || i AS name FROM range(0, 100) t(i)",
+        options={"driver": "org.duckdb.DuckDBDriver"},
+    )
+    df = src.read(spark)
+    assert df.count() == 100
+    row = df.filter("id = 3").first()
+    assert row["v"] == 6 and row["name"] == "r3"
