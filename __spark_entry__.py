@@ -61,6 +61,27 @@ SELECT event_id AS op_sequence, {_OP_SQL} AS op, user_id, event_type,
 FROM events
 """
 
+# target/batch CTEs of the conflict-strategy oracles: t = latest signup
+# image per user (the bootstrapped table), b = the latest later event
+# with a partial image (clicks update value only, views ts only)
+_CONFLICT_TB_SQL = """
+            t AS (
+              SELECT user_id, value_cents, ts_us, op_sequence AS tseq FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY op_sequence DESC) rn
+                FROM cl WHERE op = 'INSERT') WHERE rn = 1
+            ),
+            b AS (
+              SELECT user_id, op, op_sequence AS bseq,
+                     CASE WHEN event_type = 'view' THEN NULL ELSE value_cents END AS bval,
+                     CASE WHEN event_type = 'click' THEN NULL ELSE ts_us END AS bts
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY op_sequence DESC) rn
+                FROM cl WHERE op <> 'INSERT') WHERE rn = 1
+            )
+"""
+
 _LWW_SQL = f"""
 SELECT op_sequence, op, user_id, event_type, value_cents, ts_us FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY op_sequence DESC) rn
@@ -85,6 +106,56 @@ def _replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("op") != "DELETE").select(
         "user_id", "value_cents", "ts_us"
     )
+
+
+def _conflict_query(mode: str):
+    """Exercise merge_into's conflict strategies end-to-end on a real
+    (temp) lake table: target = latest signup image per user, batch =
+    later non-signup events carrying PARTIAL images (clicks update
+    value only, views update ts only)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from nebula_spark.cdc.dedup import lww_dedup
+        from nebula_spark.lake.merge import merge_into
+        from nebula_spark.lake.table import LakeTable
+
+        cl = _changelog(spark, sf_dir)
+        signups = lww_dedup(
+            cl.filter(F.col("op") == "INSERT"), key="user_id", how="agg"
+        ).select("op_sequence", "op", "user_id", "value_cents", "ts_us")
+        batch = cl.filter(F.col("op") != "INSERT").select(
+            "op_sequence",
+            "op",
+            "user_id",
+            F.when(F.col("event_type") == "view", F.lit(None))
+            .otherwise(F.col("value_cents"))
+            .alias("value_cents"),
+            F.when(F.col("event_type") == "click", F.lit(None))
+            .otherwise(F.col("ts_us"))
+            .alias("ts_us"),
+        )
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType(), False),
+                T.StructField("value_cents", T.LongType(), True),
+                T.StructField("ts_us", T.LongType(), True),
+            ]
+        )
+        tmp = tempfile.mkdtemp(prefix="nebula_conflict_")
+        table = LakeTable.create(
+            os.path.join(tmp, "t"), schema, "user_id", n_buckets=8
+        )
+        merge_into(spark, table, signups, epoch=0)
+        res = merge_into(spark, table, batch, epoch=1, conflict=mode)
+        if res.rejected is not None:
+            res.rejected.unpersist()
+        return table.read(spark).select("user_id", "value_cents", "ts_us")
+
+    return q
 
 
 def _event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_dedup_agg": _lww("agg"),
         "cdc_lww_dedup_salted": _lww("salted"),
         "cdc_replay_final_state": _replay_final_state,
+        "cdc_conflict_merge": _conflict_query("merge"),
+        "cdc_conflict_reject": _conflict_query("reject"),
         "cdc_event_filter": _event_filter,
         "transform_chain": _transform_chain,
         "dedup_exact": _dedup_exact,
@@ -367,6 +440,30 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_dedup_salted": lww,
         "cdc_replay_final_state": f"""
             SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
+        """,
+        "cdc_conflict_merge": f"""
+            WITH cl AS ({_CHANGELOG_SQL}), {_CONFLICT_TB_SQL},
+            j AS (
+              SELECT coalesce(t.user_id, b.user_id) AS user_id,
+                     t.value_cents AS tval, t.ts_us AS tts,
+                     b.op, b.bval, b.bts,
+                     (b.user_id IS NOT NULL
+                      AND (t.user_id IS NULL OR b.bseq > t.tseq)) AS b_wins
+              FROM t FULL OUTER JOIN b ON t.user_id = b.user_id
+            )
+            SELECT user_id,
+                   CASE WHEN b_wins THEN coalesce(bval, tval) ELSE tval END AS value_cents,
+                   CASE WHEN b_wins THEN coalesce(bts, tts) ELSE tts END AS ts_us
+            FROM j
+            WHERE NOT (b_wins AND op = 'DELETE')
+        """,
+        "cdc_conflict_reject": f"""
+            WITH cl AS ({_CHANGELOG_SQL}), {_CONFLICT_TB_SQL}
+            SELECT user_id, value_cents, ts_us FROM t
+            UNION ALL
+            SELECT b.user_id, b.bval AS value_cents, b.bts AS ts_us
+            FROM b LEFT JOIN t ON b.user_id = t.user_id
+            WHERE t.user_id IS NULL AND b.op <> 'DELETE'
         """,
         "cdc_event_filter": f"""
             SELECT op_sequence, op, user_id, event_type, value_cents
