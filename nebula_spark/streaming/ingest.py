@@ -44,17 +44,27 @@ def run_stream(
     available_now: bool = True,
     schema=None,
     metrics_path: str | None = None,
+    retry_max: int = 3,
+    retry_backoff_s: float = 1.0,
 ) -> dict:
     """Run the ingest stream until the backlog is drained
     (``available_now``) or indefinitely. Returns throughput metrics
-    built from the streaming progress + the table manifest."""
+    built from the streaming progress + the table manifest.
+
+    A failing micro-batch is retried ``retry_max`` times with
+    exponential backoff (``retry_backoff_s * 2^attempt``); after the
+    last attempt its events are quarantined to the DLQ table (when one
+    is configured) and the stream continues — the reference's
+    retry-then-dead-letter loop (pkg/cdc/stream.go:694-738) at
+    micro-batch granularity. Without a DLQ the final failure propagates
+    (fail-stop)."""
     from nebula_spark.metrics import IngestMetrics
 
     ingest_metrics = IngestMetrics()
-    metrics = {"batches": 0, "skipped": 0, "events": 0}
+    metrics = {"batches": 0, "skipped": 0, "events": 0, "retries": 0, "batches_dlq": 0}
 
-    def apply_batch(batch_df, batch_id: int):
-        res = apply_changes(
+    def apply_once(batch_df, batch_id: int):
+        return apply_changes(
             spark,
             table,
             batch_df,
@@ -65,6 +75,39 @@ def run_stream(
             conflict=conflict,
             dlq_table=dlq_table,
         )
+
+    def apply_batch(batch_df, batch_id: int):
+        attempt = 0
+        while True:
+            try:
+                res = apply_once(batch_df, batch_id)
+                break
+            except Exception as e:
+                attempt += 1
+                if attempt > retry_max:
+                    if dlq_table is None:
+                        raise
+                    # quarantine the whole batch; idempotent per epoch
+                    from pyspark.sql import functions as F
+
+                    from nebula_spark.lake.merge import append_into
+
+                    bad = batch_df.withColumn(
+                        "event_key",
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(batch_id)),
+                            F.col("op_sequence"),
+                            F.lit(f"failed-{type(e).__name__}"),
+                        ),
+                    )
+                    append_into(
+                        spark, dlq_table, bad, epoch=f"f{batch_id}", summary_op="dlq-failed"
+                    )
+                    metrics["batches_dlq"] += 1
+                    return
+                metrics["retries"] += 1
+                time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
         ingest_metrics.record(res)
         metrics["batches"] += 1
         if res.merge.skipped:

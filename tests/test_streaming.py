@@ -129,3 +129,77 @@ def test_dlq_routes_malformed_events(spark, tmp_path):
     # DLQ append is idempotent per epoch too
     apply_changes(spark, table, batch, epoch=0, dlq_table=dlq)
     assert dlq.read(spark).count() == 10
+
+
+class _Flaky:
+    """Event-filter stand-in that fails the first N plan builds —
+    simulates a transient source/sink fault at batch granularity."""
+
+    def __init__(self, fails: int):
+        self.left = fails
+        self.calls = 0
+
+    def apply(self, df):
+        self.calls += 1
+        if self.left > 0:
+            self.left -= 1
+            raise RuntimeError("transient fault")
+        return df
+
+
+def test_stream_retries_transient_failure(spark, tmp_path):
+    """Retry-with-backoff (ref pkg/cdc/stream.go:694-738): two transient
+    failures then success — no events lost, no DLQ involvement."""
+    from nebula_spark.cdc.binlog import gen_binlog, write_binlog_chunks
+    from nebula_spark.streaming.ingest import run_stream
+
+    binlog = str(tmp_path / "b")
+    write_binlog_chunks(gen_binlog(spark, 2000, 150, seed=71), binlog, n_chunks=1)
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    flaky = _Flaky(2)
+    out = run_stream(
+        spark,
+        table,
+        binlog,
+        checkpoint_dir=str(tmp_path / "ck"),
+        event_filter=flaky,
+        retry_max=3,
+        retry_backoff_s=0.01,
+    )
+    assert out["retries"] == 2 and out["batches_dlq"] == 0
+    assert out["events"] == 2000
+    assert table.read(spark).count() > 0
+
+
+def test_stream_quarantines_poison_batch(spark, tmp_path):
+    """A batch that keeps failing past retry_max is quarantined to the
+    DLQ and the stream continues (dead-letter after max retries)."""
+    from pyspark.sql import types as T
+
+    from nebula_spark.cdc.binlog import BINLOG_SCHEMA, gen_binlog, write_binlog_chunks
+    from nebula_spark.streaming.ingest import run_stream
+
+    binlog = str(tmp_path / "b")
+    write_binlog_chunks(gen_binlog(spark, 1000, 100, seed=72), binlog, n_chunks=1)
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    dlq_schema = T.StructType(
+        list(BINLOG_SCHEMA.fields) + [T.StructField("event_key", T.StringType(), False)]
+    )
+    dlq = LakeTable.create(str(tmp_path / "dlq"), dlq_schema, "event_key", n_buckets=2)
+    out = run_stream(
+        spark,
+        table,
+        binlog,
+        checkpoint_dir=str(tmp_path / "ck"),
+        event_filter=_Flaky(100),  # never recovers
+        dlq_table=dlq,
+        retry_max=2,
+        retry_backoff_s=0.01,
+    )
+    # one quarantine per micro-batch (the file source may split the
+    # chunk into several triggers), each after retry_max retries
+    assert out["batches_dlq"] >= 1
+    assert out["retries"] == 2 * out["batches_dlq"]
+    assert table.read(spark).count() == 0  # nothing applied
+    quarantined = dlq.read(spark).filter(F.col("event_key").contains("failed-"))
+    assert quarantined.count() == 1000
