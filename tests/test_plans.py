@@ -79,3 +79,59 @@ def test_commit_retry_on_version_collision(tmp_path, spark):
     assert table.snapshot().version == 1
     snap = table.commit(summary={"operation": "late"})  # must land at v2
     assert snap.version == 2 and snap.raw["summary"]["operation"] == "late"
+
+def test_lsh_topk_is_equi_join(spark):
+    """The ANN scale path must meet candidates in a hash equi-join on
+    the bucket key — a nested-loop or cartesian would be the O(n·q)
+    plan LSH exists to avoid."""
+    from nebula_spark.functions.similarity import lsh_topk
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda i: (i * F.col("id") % 97).cast("float")).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(lsh_topk(emb, q, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan
+
+
+def test_simhash_is_partial_aggregated(spark):
+    """64 bit-vote SUMs must combine map-side (skew defense: a giant
+    doc's words collapse before the shuffle)."""
+    from nebula_spark.functions.dedupe import simhash64
+
+    docs = spark.range(100).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat_ws(" ", F.array(*[F.lit(f"w{i}") for i in range(20)])).alias("text"),
+    )
+    plan = _plan(simhash64(docs))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_conflict_merge_join_still_broadcasts(spark, tmp_path):
+    """Field-level merge adds per-column coalesces but must not change
+    the join strategy."""
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    merge_into(spark, table, gen_binlog(spark, 2000, 200, seed=21), epoch=0)
+    tiny = lww_dedup(gen_binlog(spark, 50, 200, seed=22), key="doc_id")
+    merged = _resolve(
+        spark, table, table.bucket_of(tiny), [0, 1, 2, 3], "op", "op_sequence",
+        "broadcast", fieldmerge=True,
+    )
+    assert "BroadcastHashJoin" in _plan(merged)
+
+
+def test_pack_sequences_numeric_avoids_range_exchange(spark):
+    """Numeric ids bucket the prefix sum on quantile boundaries: the
+    plan must contain NO rangepartitioning exchange (only the window's
+    hash exchange and the pack groupBy)."""
+    from nebula_spark.functions.tokens import pack_sequences
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.transform(F.sequence(F.lit(1), (F.col("id") % 40 + 1).cast("int")), lambda i: i.cast("int")).alias("tokens"),
+    )
+    plan = _plan(pack_sequences(docs, context_len=256))
+    assert "rangepartitioning" not in plan.lower()
