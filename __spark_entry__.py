@@ -205,15 +205,27 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nebula_spark.functions.text import token_count, fingerprint, lang_id
+    from nebula_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        token_count,
+    )
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count("text").alias("n_words"),
+        bpe_ish_token_count("text").alias("n_bpe"),
         lang_id("text").alias("lang_guess"),
         fingerprint("text").alias("fp"),
     )
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.similarity import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 def _agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_events_by_type": _agg_events,
         "ann_cosine_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
+        "dedup_embedding_cosine": _embedding_near_dup,
         "dedup_minhash_lsh": _minhash,
         "dedup_ngram_jaccard": _jaccard,
         "dedup_simhash": _simhash,
@@ -486,6 +499,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": rf"""
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                   CAST(len(regexp_extract_all(lower(trim(text)),
+                        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe,
                    CASE WHEN len(list_intersect(
                         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')),
                         {_STOPWORDS_SQL})) >= 2
@@ -519,6 +534,20 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) c
               WHERE q.vec_id <> c.vec_id
             ) WHERE rank <= 3
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), bk AS (
+              SELECT vec_id, emb, {_lsh_bucket_sql()} AS bkt FROM c
+            )
+            SELECT vec_a, vec_b, cos FROM (
+              SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+                     round(list_dot_product(a.emb, x.emb) /
+                           (sqrt(list_dot_product(a.emb, a.emb)) *
+                            sqrt(list_dot_product(x.emb, x.emb))), 6) AS cos
+              FROM bk a JOIN bk x ON a.bkt = x.bkt AND a.vec_id < x.vec_id
+            ) WHERE cos >= 0.3
         """,
         "dedup_minhash_lsh": r"""
             WITH ws AS (

@@ -94,6 +94,40 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 42, dim: int =
     return F.concat(*bits)
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: vectors sharing a
+    random-hyperplane bucket are scored exactly, pairs ≥ threshold
+    survive. Same equi-join shape as MinHash-LSH (candidates meet on a
+    bucket key — never an all-pairs join), so it holds at 10^9 vectors;
+    recall is tunable via fewer planes / multiple tables."""
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a._bkt") == F.col("c._bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"c.{id_col}").alias("vec_b"),
+            F.round(cosine(F.col("a._v"), F.col("c._v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -28,11 +28,17 @@ def token_count(text: Column | str) -> Column:
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """A BPE-flavored estimate: split on word boundaries AND digits/
-    punctuation so 'foo_bar42' counts 3 — still one regex, JVM-side."""
+    """A BPE-flavored estimate: letter runs, digit runs, and single
+    punctuation marks each count as one token ('foo_bar42!' → foo, bar,
+    42, '_', '!' = 5). One RE2-compatible regexp_extract_all, JVM-side,
+    with a verbatim DuckDB twin (RE2 has no lookarounds, so the pattern
+    deliberately avoids them)."""
     c = F.col(text) if isinstance(text, str) else text
-    arr = F.split(F.trim(c), r"[\s_\-.,;:!?()\[\]{}\"']+|(?<=[a-z])(?=[0-9])")
-    return F.size(F.filter(arr, lambda x: x != ""))
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.trim(c)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
 
 
 def punct_ratio(text: Column | str) -> Column:
