@@ -146,6 +146,41 @@ def cmd_compact(args) -> dict:
     return out
 
 
+def cmd_publish(args) -> dict:
+    """CDC → transactional topic (the reference's Kafka delivery path,
+    pkg/cdc/kafka.go:257-312): each binlog chunk is one exactly-once
+    transaction keyed by its chunk epoch — re-running publishes nothing
+    twice. Messages are (key=doc_id, value=JSON event)."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.io.kafka_sink import TopicDir, produce_exactly_once
+
+    spark = get_spark("nebula-publish", parallelism=args.cpus)
+    topic = TopicDir(args.topic, n_partitions=args.topic_partitions)
+    chunks = sorted(
+        (int(d.split("=", 1)[1]), os.path.join(args.binlog, d))
+        for d in os.listdir(args.binlog)
+        if d.startswith("_chunk=")
+    )
+    published = skipped = 0
+    for epoch, chunk in chunks:
+        df = spark.read.parquet(chunk)
+        msg = df.select(
+            F.col("doc_id").alias("key"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+        )
+        if produce_exactly_once(topic, msg, epoch=epoch):
+            published += 1
+        else:
+            skipped += 1
+    return {
+        "published": published,
+        "skipped": skipped,
+        "messages_visible": topic.read(spark).count(),
+        "epochs": sorted(topic.committed_epochs(), key=int),
+    }
+
+
 def cmd_run(args) -> dict:
     """EL pipeline from JSON configs (reference: `nebula run`)."""
     from nebula_spark.pipeline import Pipeline
@@ -213,6 +248,12 @@ def main(argv=None):
     sh = sub.add_parser("show")
     sh.add_argument("--table", required=True)
     sh.set_defaults(fn=cmd_show)
+
+    pub = sub.add_parser("publish")
+    pub.add_argument("--binlog", required=True)
+    pub.add_argument("--topic", required=True)
+    pub.add_argument("--topic-partitions", type=int, default=8)
+    pub.set_defaults(fn=cmd_publish)
 
     r = sub.add_parser("run")
     r.add_argument("--source", required=True)
