@@ -21,6 +21,8 @@ class IngestMetrics:
     events_applied: int = 0
     rows_upserted: int = 0
     rows_deleted: int = 0
+    rows_rejected: int = 0
+    events_dlq: int = 0
     buckets_touched: int = 0
     schema_changes: int = 0
     batch_seconds: list = field(default_factory=list)
@@ -34,6 +36,8 @@ class IngestMetrics:
         self.events_applied += m.events_in
         self.rows_upserted += m.rows_upserted
         self.rows_deleted += m.rows_deleted
+        self.rows_rejected += m.rows_rejected
+        self.events_dlq += apply_result.events_dlq
         self.buckets_touched += m.buckets_touched
         self.schema_changes += apply_result.schema_changes
         self.batch_seconds.append(m.seconds)
@@ -50,6 +54,8 @@ class IngestMetrics:
             "events_applied": self.events_applied,
             "rows_upserted": self.rows_upserted,
             "rows_deleted": self.rows_deleted,
+            "rows_rejected": self.rows_rejected,
+            "events_dlq": self.events_dlq,
             "buckets_touched": self.buckets_touched,
             "schema_changes": self.schema_changes,
             "events_per_sec": self.events_per_sec,

@@ -104,3 +104,36 @@ def test_merge_plan_prunes_buckets(spark, tmp_path):
     )
     res = merge_into(spark, table, tiny, epoch=1)
     assert res.buckets_touched <= 2 < n_buckets_full
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Quantify the ANN scale path: on clustered vectors, single-table
+    6-plane LSH must recover a substantial fraction of the true top-3
+    neighbors (recall is tunable with more tables/fewer planes; this
+    pins the floor so regressions surface)."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.functions.similarity import brute_topk, lsh_topk
+
+    # 20 clusters of 25 vectors: cluster direction + small deterministic noise
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.cos((F.col("id") % 20 + 1) * (j + 1))
+                + 0.05 * F.sin(F.col("id") * (j + 13))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=3).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall:.2f}"
