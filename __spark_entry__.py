@@ -10,6 +10,18 @@ fixed-point rounding.
 The CDC queries derive a changelog from the `events` table:
 op_sequence = event_id (total order), op = signup→INSERT /
 purchase→DELETE / else UPDATE, key = user_id.
+
+Query families (23 total, every one oracle-checked):
+- cdc_*            — LWW dedup strategies, replay-to-final-state, the
+                     four conflict strategies (merge/reject run a real
+                     temp LakeTable through merge_into), event filter
+- dedup_*          — exact, MinHash-LSH, n-gram Jaccard, SimHash (md5
+                     bit derivation) + banded near-pairs,
+                     embedding-cosine near-dups
+- ann_*            — brute-force cosine top-k, hyperplane-LSH top-k
+- text_* / events_* — stats, quality, histogram, sessionization
+- pack_sequences   — deterministic global-prefix-sum context packing
+- multimodal_features — mapInPandas feature extraction, sha256-twin fp
 """
 
 from __future__ import annotations

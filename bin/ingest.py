@@ -82,9 +82,15 @@ def cmd_ingest(args) -> dict:
     )
     t0 = time.time()
     applied = skipped = events = 0
+    renames = json.loads(args.renames) if args.renames else None
     for epoch, chunk in chunks:
         res = apply_changes(
-            spark, table, spark.read.parquet(chunk), epoch=epoch, conflict=args.conflict
+            spark,
+            table,
+            spark.read.parquet(chunk),
+            epoch=epoch,
+            conflict=args.conflict,
+            renames=renames,
         )
         if res.merge.skipped:
             skipped += 1
@@ -116,6 +122,7 @@ def cmd_stream(args) -> dict:
         checkpoint_dir=args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
         conflict=args.conflict,
+        renames=json.loads(args.renames) if args.renames else None,
     )
     out["bootstrap"] = snapshot_info
     return out
@@ -240,6 +247,8 @@ def main(argv=None):
             choices=["last_write_wins", "first_write_wins", "merge", "reject"],
             default="last_write_wins",
         )
+        # declared source renames, e.g. '{"source": "origin"}'
+        s.add_argument("--renames", default=None)
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
             s.add_argument("--max-files-per-trigger", type=int, default=1)

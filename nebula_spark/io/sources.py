@@ -109,8 +109,11 @@ class JDBCSource:
     """Database batch scan — the reference's PostgreSQL/MySQL batch
     sources (sources/postgresql/postgresql_source.go:248-354). Full
     table or custom query; partitioned reads parallelize the scan the
-    way its parallel snapshot loop does. Untested here (no database in
-    the environment) — config surface + reader wiring only."""
+    way its parallel snapshot loop does. Smoke-tested end-to-end
+    against an in-memory DuckDB over its JDBC driver (tests/test_io.py
+    ::test_jdbc_source_smoke_if_driver); no live PostgreSQL/MySQL
+    server exists in this environment, but the reader wiring is the
+    same for any JDBC url + driver class."""
 
     url: str
     table: str | None = None

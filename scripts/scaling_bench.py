@@ -26,8 +26,11 @@ def run_level(cpus: int, events: int, batches: int, workdir: str) -> dict:
         BENCH_BATCHES=str(batches),
         BENCH_WORKDIR=workdir,
         BENCH_ONLY_CDC="1",
-        # large-batch regime: codegen'd join plans, no object-hash aggs
-        NEBULA_DEDUP_HOW=os.environ.get("NEBULA_DEDUP_HOW", "join"),
+        # large-batch regime: window dedup (WindowGroupLimit pushes the
+        # top-1 before the sort) feeds the full-outer SMJ already
+        # hash-partitioned AND key-sorted — 2 exchanges total vs 4 for
+        # agg+semijoin dedup; measured ~30% faster at both 1 and 4 cores
+        NEBULA_DEDUP_HOW=os.environ.get("NEBULA_DEDUP_HOW", "window"),
         NEBULA_RESOLVE_STRATEGY=os.environ.get("NEBULA_RESOLVE_STRATEGY", "fullouter"),
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
     )
