@@ -54,7 +54,7 @@ def apply_changes(
     transforms: list[Transform] | None = None,
     evolution_policy: str = "default",
     renames: dict[str, str] | None = None,
-    dedup_how: str = "agg",
+    dedup_how: str = "auto",
     resolve_strategy: str | None = None,
     conflict: str | None = None,
     dlq_table: LakeTable | None = None,

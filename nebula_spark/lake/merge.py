@@ -260,7 +260,7 @@ def merge_into(
     op_col: str = "op",
     seq_col: str = "op_sequence",
     partition_col: str | None = "partition_id",
-    dedup_how: str = "agg",
+    dedup_how: str = "auto",
     already_deduped: bool = False,
     resolve_strategy: str = "auto",
     conflict: str = "last_write_wins",
@@ -366,11 +366,21 @@ def merge_into(
                 strategy = "fullouter"
 
         fww = conflict == "first_write_wins"
+        how = dedup_how
+        if how == "auto":
+            # measured (BENCH/BASELINE.md round 2): for fat batches the
+            # window dedup (partial+final WindowGroupLimit) leaves its
+            # output hash-partitioned AND key-sorted, so the downstream
+            # SMJ re-sorts nothing — 2 exchanges total vs 4 for the
+            # agg/semijoin shapes, ~35% faster at 1M+ events. Small
+            # micro-batches keep the one-agg plan (fewest stages).
+            big = int(os.environ.get("NEBULA_WINDOW_DEDUP_MIN_EVENTS", 500_000))
+            how = "window" if res.events_in >= big else "agg"
         deduped = (
             batch
             if already_deduped
             else lww_dedup(
-                batch, key=key, seq=seq_col, how=dedup_how, first_writer_wins=fww
+                batch, key=key, seq=seq_col, how=how, first_writer_wins=fww
             )
         )
         if conflict == "reject":
