@@ -11,7 +11,7 @@ The CDC queries derive a changelog from the `events` table:
 op_sequence = event_id (total order), op = signup→INSERT /
 purchase→DELETE / else UPDATE, key = user_id.
 
-Query families (23 total, every one oracle-checked):
+Query families (25 total, every one oracle-checked):
 - cdc_*            — LWW dedup strategies, replay-to-final-state, the
                      four conflict strategies (merge/reject run a real
                      temp LakeTable through merge_into), event filter
@@ -234,6 +234,44 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, tokens array<int>) with token ids = word
+    lengths: deterministic, SQL-twinnable token payloads."""
+    from nebula_spark.functions.text import words
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(words("text"), lambda w: F.length(w)).alias("tokens"),
+    )
+
+
+_DERIVED_TOKENS_SQL = r"""
+SELECT doc_id,
+       list_transform(regexp_split_to_array(trim(text), '\s+'),
+                      x -> CAST(length(x) AS INT)) AS tokens
+FROM documents
+"""
+
+
+def _token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.tokens import token_histogram
+
+    return token_histogram(_derived_tokens(spark, sf_dir))
+
+
+def _sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.tokens import sequence_stats
+
+    s = sequence_stats(_derived_tokens(spark, sf_dir))
+    return s.select(
+        "n_docs",
+        "total_tokens",
+        "min_len",
+        "max_len",
+        F.round("avg_len", 4).alias("avg_len"),
+    )
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebula_spark.functions.similarity import embedding_near_dups
 
@@ -410,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _jaccard,
         "dedup_simhash": _simhash,
         "dedup_simhash_pairs": _simhash_pairs,
+        "token_histogram": _token_histogram,
+        "sequence_stats": _sequence_stats,
         "pack_sequences": _pack_sequences,
         "multimodal_features": _media_features,
         "events_sessionize": _sessionize,
@@ -704,6 +744,19 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 3
+        """,
+        "token_histogram": f"""
+            SELECT token_id, count(*) AS freq FROM (
+              SELECT unnest(tokens) AS token_id FROM ({_DERIVED_TOKENS_SQL})
+            ) GROUP BY token_id
+        """,
+        "sequence_stats": f"""
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len(tokens)) AS BIGINT) AS total_tokens,
+                   CAST(min(len(tokens)) AS INT) AS min_len,
+                   CAST(max(len(tokens)) AS INT) AS max_len,
+                   round(avg(len(tokens)), 4) AS avg_len
+            FROM ({_DERIVED_TOKENS_SQL})
         """,
         "pack_sequences": r"""
             WITH d AS (
