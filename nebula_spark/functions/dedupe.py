@@ -151,14 +151,17 @@ _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: str = "md5"
 ) -> DataFrame:
     """64-bit SimHash per document: majority vote per bit over word
-    hashes. Word bits come from md5 (two md5s = 64 hex chars, bit j =
-    parity of char j) so the DuckDB oracle re-derives the exact hashes
-    — the same trick minhash_signature uses. Shaped as explode →
+    hashes. Default word bits come from md5 (two md5s = 64 hex chars,
+    bit j = parity of char j) so the DuckDB oracle re-derives the exact
+    hashes — the same trick minhash_signature uses. ``bits='xxhash64'``
+    is the throughput variant (one 64-bit JVM hash per word, ~2×
+    cheaper, no SQL twin) for production runs where cross-engine
+    verification isn't needed. Either way the plan is explode →
     hash-aggregate with 64 codegen'd SUMs (partial agg map-side; one
-    shuffle keyed by doc) — the scan-shaped plan that survives 10^9
+    shuffle keyed by doc) — the scan shape that survives 10^9
     documents, instead of 64 array traversals per row.
 
     Output: (id, simhash long — Spark-internal bit ops, e.g. banding /
@@ -170,14 +173,18 @@ def simhash64(
     exploded = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(words(F.lower(c)))).alias("_w"),
-    ).select(
-        F.col(id_col),
-        F.concat(F.md5(w), F.md5(F.concat(w, F.lit("#1")))).alias("_hh"),
     )
+    if bits == "xxhash64":
+        exploded = exploded.select(F.col(id_col), F.xxhash64(w).alias("_h"))
+        bit_j = lambda j: F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1  # noqa: E731
+    else:
+        exploded = exploded.select(
+            F.col(id_col),
+            F.concat(F.md5(w), F.md5(F.concat(w, F.lit("#1")))).alias("_hh"),
+        )
+        bit_j = lambda j: F.substring(F.col("_hh"), j + 1, 1).isin(*_ODD_HEX)  # noqa: E731
     votes = [
-        F.sum(
-            F.when(F.substring(F.col("_hh"), j + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
-        ).alias(f"_b{j}")
+        F.sum(F.when(bit_j(j), 1).otherwise(-1)).alias(f"_b{j}")
         for j in range(64)
     ]
     agg = exploded.groupBy(id_col).agg(*votes)
