@@ -11,7 +11,7 @@ The CDC queries derive a changelog from the `events` table:
 op_sequence = event_id (total order), op = signup→INSERT /
 purchase→DELETE / else UPDATE, key = user_id.
 
-Query families (25 total, every one oracle-checked):
+Query families (26 total, every one oracle-checked):
 - cdc_*            — LWW dedup strategies, replay-to-final-state, the
                      four conflict strategies (merge/reject run a real
                      temp LakeTable through merge_into), event filter
@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _replay_final_state,
         "cdc_conflict_merge": _conflict_query("merge"),
         "cdc_conflict_reject": _conflict_query("reject"),
+        "cdc_conflict_fww": _conflict_query("first_write_wins"),
         "cdc_event_filter": _event_filter,
         "transform_chain": _transform_chain,
         "dedup_exact": _dedup_exact,
@@ -529,6 +530,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.user_id, b.bval AS value_cents, b.bts AS ts_us
             FROM b LEFT JOIN t ON b.user_id = t.user_id
             WHERE t.user_id IS NULL AND b.op <> 'DELETE'
+        """,
+        "cdc_conflict_fww": f"""
+            -- first_write_wins: target rows never change; a user absent
+            -- from the target gets the EARLIEST batch event's image
+            -- (FWW dedup keeps min op_sequence; an earliest DELETE is a
+            -- tombstone, i.e. no row)
+            WITH cl AS ({_CHANGELOG_SQL}),
+            t AS (
+              SELECT user_id, value_cents, ts_us FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY op_sequence DESC) rn
+                FROM cl WHERE op = 'INSERT') WHERE rn = 1
+            ),
+            bf AS (
+              SELECT user_id, op,
+                     CASE WHEN event_type = 'view' THEN NULL ELSE value_cents END AS bval,
+                     CASE WHEN event_type = 'click' THEN NULL ELSE ts_us END AS bts
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY op_sequence ASC) rn
+                FROM cl WHERE op <> 'INSERT') WHERE rn = 1
+            )
+            SELECT user_id, value_cents, ts_us FROM t
+            UNION ALL
+            SELECT bf.user_id, bf.bval AS value_cents, bf.bts AS ts_us
+            FROM bf LEFT JOIN t ON bf.user_id = t.user_id
+            WHERE t.user_id IS NULL AND bf.op <> 'DELETE'
         """,
         "cdc_event_filter": f"""
             SELECT op_sequence, op, user_id, event_type, value_cents
