@@ -341,7 +341,17 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(words("text"), lambda w: F.length(w)).alias("tokens"),
     )
-    return pack_sequences(docs, context_len=512, eos_token=0)
+    packs = pack_sequences(docs, context_len=512, eos_token=0)
+    # fingerprint the token array (the harness canonicalizer can't sort
+    # a list column) — same md5(csv) twin trick as multimodal_features
+    return packs.select(
+        "pack_id",
+        F.md5(F.concat_ws(",", F.col("tokens").cast("array<string>"))).alias(
+            "tokens_fp"
+        ),
+        "n_tok",
+        "n_docs",
+    )
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,7 +816,8 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_docs
               FROM b GROUP BY bin
             )
-            SELECT pack_id, tokens, CAST(len(tokens) AS INT) AS n_tok, n_docs
+            SELECT pack_id, md5(array_to_string(tokens, ',')) AS tokens_fp,
+                   CAST(len(tokens) AS INT) AS n_tok, n_docs
             FROM packs
         """,
         "multimodal_features": """

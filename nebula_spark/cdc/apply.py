@@ -131,6 +131,24 @@ def apply_changes(
         )
         res.schema_changes = len(changes)
 
+    def _route_rejected(rej_df: DataFrame) -> None:
+        # conflict='reject': surfaced events go to the dead-letter
+        # table with a reason-stamped key (ingest QA reads them there).
+        # Runs BEFORE the merge commit (see merge_into's on_rejected
+        # contract) so a crash can never apply the epoch yet lose its
+        # conflict records; the f'c{epoch}' manifest key keeps the
+        # append idempotent across retries (and distinct from the
+        # malformed-event append above, which recorded `epoch`).
+        from nebula_spark.lake.merge import append_into
+
+        rej = rej_df.withColumn(
+            "event_key",
+            F.concat_ws(
+                ":", F.lit(str(epoch)), F.col("op_sequence"), F.lit("conflict")
+            ),
+        )
+        append_into(spark, dlq_table, rej, epoch=f"c{epoch}", summary_op="dlq-conflict")
+
     res.merge = merge_into(
         spark,
         table,
@@ -140,27 +158,13 @@ def apply_changes(
         resolve_strategy=resolve_strategy
         or os.environ.get("NEBULA_RESOLVE_STRATEGY", "auto"),
         conflict=conflict or os.environ.get("NEBULA_CONFLICT", "last_write_wins"),
+        on_rejected=_route_rejected if dlq_table is not None else None,
     )
+    if dlq_table is not None:
+        res.events_dlq += res.merge.rows_rejected
     if res.merge.rejected is not None:
-        # conflict='reject': surfaced events go to the dead-letter
-        # table with a reason-stamped key (ingest QA reads them there)
-        try:
-            if dlq_table is not None and res.merge.rows_rejected:
-                from nebula_spark.lake.merge import append_into
-
-                rej = res.merge.rejected.withColumn(
-                    "event_key",
-                    F.concat_ws(
-                        ":", F.lit(str(epoch)), F.col("op_sequence"), F.lit("conflict")
-                    ),
-                )
-                # distinct manifest key: the malformed-event append above
-                # already recorded `epoch` on the DLQ table
-                append_into(
-                    spark, dlq_table, rej, epoch=f"c{epoch}", summary_op="dlq-conflict"
-                )
-                res.events_dlq += res.merge.rows_rejected
-        finally:
-            res.merge.rejected.unpersist()
-            res.merge.rejected = None
+        # no DLQ configured: nothing routes the surfaced events here —
+        # just release the intermediate
+        res.merge.rejected.unpersist()
+        res.merge.rejected = None
     return res

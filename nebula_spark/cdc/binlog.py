@@ -41,6 +41,14 @@ BINLOG_SCHEMA = T.StructType(
     ]
 )
 
+# multi-table stream: same envelope + the routing column (the
+# reference's TableMap carries (schema, table) per row event,
+# pkg/cdc/mysql.go:493-604)
+MULTI_BINLOG_SCHEMA = T.StructType(
+    list(BINLOG_SCHEMA.fields)
+    + [T.StructField("source_table", T.StringType(), False)]
+)
+
 SEQUENCE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),

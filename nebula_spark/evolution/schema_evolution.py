@@ -83,18 +83,29 @@ def diff_schemas(old: T.StructType, new: T.StructType) -> list[SchemaChange]:
 def check_compatibility(
     old: T.StructType, new: T.StructType, mode: str = "BACKWARD"
 ) -> list[str]:
-    """Violations of the given compatibility mode (evolution.go:241-324).
+    """Violations of the given compatibility mode (evolution.go:241-324;
+    mode names incl. the *_TRANSITIVE variants from the reference's
+    registry, pkg/schema/registry.go:27-40).
     BACKWARD: new schema can read old data — no required adds, no
     narrowing type changes, no removal of required fields. FORWARD: old
     schema can read new data — no removals, adds must be optional.
-    FULL: both. NONE: anything goes."""
+    FULL: both. *_TRANSITIVE: same rule checked against every prior
+    schema version, not just the latest — callers pass each historical
+    schema as ``old`` in turn (LakeTable keeps all versions in the
+    snapshot's ``schemas`` map). NONE: anything goes."""
     mode = mode.upper()
     if mode == "NONE":
         return []
+    known = (
+        "BACKWARD", "FORWARD", "FULL",
+        "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE",
+    )
+    if mode not in known:
+        raise ValueError(f"unknown compatibility mode {mode!r}; one of {known} or NONE")
     old_f = {f.name: f for f in old.fields}
     violations: list[str] = []
-    backward = mode in ("BACKWARD", "FULL", "BACKWARD_TRANSITIVE")
-    forward = mode in ("FORWARD", "FULL")
+    backward = mode in ("BACKWARD", "FULL", "BACKWARD_TRANSITIVE", "FULL_TRANSITIVE")
+    forward = mode in ("FORWARD", "FULL", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE")
     for ch in diff_schemas(old, new):
         if ch.kind == ADD_FIELD:
             nf = next(f for f in new.fields if f.name == ch.field)

@@ -5,11 +5,12 @@ shuffles once on the dedup key it constructs).
 Scale notes (the point of each design):
 - exact: groupBy on a 128-bit content hash — partial agg, one shuffle.
 - minhash-LSH: per-band min-of-hashes becomes the shuffle key; docs
-  collide only within bands, so the candidate join is an equi-join on
-  the band key (no O(n²) cross join).
+  collide only within bands, so candidates come from ONE groupBy on
+  the band key with in-group pair enumeration (no O(n²) cross join,
+  no self-join, nothing persisted).
 - simhash: 64 weighted-bit majority over word hashes; hamming-near
   pairs found by banding the simhash into 4×16-bit keys (any equal
-  16-bit band → candidate), again an equi-join.
+  16-bit band → candidate), same single-shuffle groupBy shape.
 - ngram-jaccard: verification metric on candidate pairs only.
 """
 
@@ -83,9 +84,15 @@ def minhash_lsh_candidates(
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
     bands = n_hashes / band_size; docs sharing any full band collide.
-    The heavy lifting is ONE explode + ONE equi-join on the band key —
-    this is the shape that survives 10^9 documents (band keys
-    hash-partition evenly; no cross join anywhere)."""
+    The heavy lifting is ONE explode + ONE hash aggregation on the band
+    key — a (band, key) group IS the collision set, so the i<j pairs
+    are enumerated inside each group directly (array_sort +
+    index-sliced transform). One shuffle total, signatures computed
+    exactly once, nothing persisted (the old shape was a persisted
+    self-join: two exchanges plus a cache that leaked until LRU
+    pressure). Group width = docs per band key, the same quantity that
+    bounded the join's output — hot keys cost the same pairs either
+    way; tune band_size for selectivity, not this plan."""
     sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes)
     n_bands = n_hashes // band_size
     banded = spread(df).select(F.col(id_col), sig.alias("_sig")).select(
@@ -102,31 +109,41 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # the self-join would recompute the (expensive) signatures for each
-    # side — materialize them once
-    banded = banded.persist()
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
+    grouped = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
     )
-    return pairs
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + F.lit(2), F.size("_ids")),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+    )
+    return grouped.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col="text", id_col="doc_id", n=3) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
-    sh = spread(docs).select(
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+
+    Shingles are computed only for docs that appear in a candidate pair
+    (semi-join prune) — at corpus scale the candidate set is orders of
+    magnitude smaller than the corpus, so shingling everything (and
+    caching it, as this used to) is exactly backwards. The per-side
+    recompute over that small set is cheaper than a persisted cache."""
+    cand_ids = (
+        df_pairs.select(F.col("doc_a").alias(id_col))
+        .union(df_pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = spread(docs.join(cand_ids, on=id_col, how="left_semi")).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
-    ).persist()
+    )
     a = sh.alias("sa")
     b = sh.alias("sb")
     return (
@@ -188,11 +205,11 @@ def simhash64(
         for j in range(64)
     ]
     agg = exploded.groupBy(id_col).agg(*votes)
-    bits = [(F.col(f"_b{j}") > 0).cast("long") for j in range(64)]
+    bit_cols = [(F.col(f"_b{j}") > 0).cast("long") for j in range(64)]
     out = F.lit(0).cast("long")
-    for j, b in enumerate(bits):
+    for j, b in enumerate(bit_cols):
         out = out + F.shiftleft(b, j)  # j=63 wraps to the sign bit — intended
-    simbits = F.concat(*[b.cast("string") for b in bits])
+    simbits = F.concat(*[b.cast("string") for b in bit_cols])
     return agg.select(
         F.col(id_col), out.alias("simhash"), simbits.alias("simbits")
     )
@@ -202,8 +219,13 @@ def simhash_near_pairs(
     sim: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash"
 ) -> DataFrame:
     """Hamming-near candidates: band the 64-bit simhash into 4×16-bit
-    keys; any equal band → candidate pair (equi-join, no cross join).
-    Guarantees recall for hamming distance ≤ 3 (pigeonhole)."""
+    keys; any equal band → candidate pair. Guarantees recall for
+    hamming distance ≤ 3 (pigeonhole).
+
+    Same single-shuffle shape as minhash_lsh_candidates: groupBy the
+    band key and enumerate i<j pairs inside each collision group —
+    the old self-join recomputed the full 64-sum simhash aggregation
+    for BOTH sides (or needed a leaked persist to avoid it)."""
     bands = sim.select(
         F.col(id_col),
         F.col(hash_col),
@@ -221,20 +243,35 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select(id_col, hash_col, "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    grouped = (
+        bands.groupBy("band", "key")
+        .agg(
+            # sorted by id (first struct field) → doc_a < doc_b for free
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col(hash_col)))
+            ).alias("_g")
+        )
+        .filter(F.size("_g") > 1)
+    )
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_g"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_g"), i + F.lit(2), F.size("_g")),
+                    lambda y: F.struct(
+                        x[id_col].alias("doc_a"),
+                        y[id_col].alias("doc_b"),
+                        F.bit_count(
+                            x[hash_col].bitwiseXOR(y[hash_col])
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
-            ).alias("hamming"),
-        )
+        grouped.select(pairs.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
     )

@@ -65,71 +65,93 @@ def pack_sequences(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     eos_token: int = 0,
+    len_col: str | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing for training: concatenate docs
     (each followed by eos) into packs of ~context_len tokens, binned by
     the doc's global token offset in ``id_col`` order. A doc belongs
     wholly to the pack its first token falls in — packs are therefore
     context_len ± one straddling doc, never a split or truncated
-    document.
+    document. ``id_col`` values must be unique (the lake table's merge
+    key is): duplicate ids would make the id order — and therefore the
+    concatenation order — ambiguous.
 
     The result is a pure function of the input rows: the global offset
     is an exact prefix sum over the total ``id_col`` order, computed in
     two phases so no stage is single-task —
 
-    1. range-repartition on the id, per-partition running sum (window
-       within partition);
-    2. per-partition totals (one tiny collect, ≤ #partitions rows)
-       ordered by each partition's min id → broadcast base offsets.
+    1. bucket ids on driver-inlined boundary literals (quantiles for
+       numeric ids, a seeded sample's quantiles for strings) — a pure,
+       recompute-safe expression, so NOTHING is cached (at 100 TB the
+       token payload must never be persisted); per-bucket running sum
+       via a rows-frame window;
+    2. per-bucket totals from a cheap column-pruned aggregation (one
+       tiny collect, ≤ #buckets rows) ordered by each bucket's min id
+       → broadcast base offsets.
 
-    Same packs at local[1] and local[1000], any input split layout.
+    Boundary *placement* never affects the output — any contiguous
+    id-range split reconstructs the same global prefix sum — so the
+    approximate quantiles/sample only steer balance. Same packs at
+    local[1] and local[1000], any input split layout.
+
+    ``len_col``: a pre-stored token count (e.g. the lake's ``n_tok``)
+    lets the phase-1/2 scans prune the token array column entirely.
     Output: (pack_id long, tokens array, n_tok int, n_docs long)."""
     from pyspark.sql import Window
 
     from pyspark.sql import types as T
 
+    length = (
+        F.col(len_col).cast("long") if len_col else F.size(tokens_col).cast("long")
+    ) + 1  # + eos
     sized = df.select(
-        F.col(id_col),
-        F.col(tokens_col),
-        (F.size(tokens_col) + 1).alias("_len"),  # + eos
-    ).filter(F.size(tokens_col) + 1 <= context_len)
+        F.col(id_col), F.col(tokens_col), length.alias("_len")
+    ).filter(length <= context_len)
 
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     id_type = sized.schema[id_col].dataType
     if isinstance(id_type, T.NumericType):
-        # numeric id: bucket on explicit quantile boundaries — the
-        # window's own hash exchange on _pid is then the ONLY shuffle
-        # before the pack groupBy (repartitionByRange + window would
-        # shuffle the token payload twice). Boundary placement doesn't
-        # affect the output (any contiguous id-range split reconstructs
-        # the same global prefix sum), so approx quantiles are fine.
         probs = [i / n_parts for i in range(1, n_parts)]
         splits = sorted(set(sized.stat.approxQuantile(id_col, probs, 0.001)))
-        if splits:
-            barr = F.array(*[F.lit(float(b)) for b in splits])
-            pid = F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc + (F.col(id_col).cast("double") > b).cast("int"),
-            )
-        else:
-            pid = F.lit(0)
-        parted = sized.withColumn("_pid", pid)
+        bound_lits = [F.lit(float(b)) for b in splits]
+        id_cmp = F.col(id_col).cast("double")
     else:
-        # non-numeric id: range-partition then use the physical
-        # partition id (one extra exchange, still deterministic)
-        parted = sized.repartitionByRange(n_parts, id_col).withColumn(
-            "_pid", F.spark_partition_id()
+        # string ids: boundaries from a seeded sample's quantiles,
+        # collected once on the driver and inlined as literals (the
+        # sample is tiny: ~128 ids per target bucket). This replaces
+        # the old repartitionByRange + spark_partition_id shape, which
+        # shuffled the token payload an extra time AND forced a persist
+        # (physical partition ids aren't recompute-stable).
+        n_rows = df.select(id_col).count()
+        frac = min(1.0, (128.0 * n_parts) / max(n_rows, 1))
+        samp = sorted(
+            r[0]
+            for r in df.select(id_col).sample(False, frac, seed=42).collect()
+            if r[0] is not None
         )
-    w = Window.partitionBy("_pid").orderBy(id_col)
-    local = parted.withColumn("_lcum", F.sum("_len").over(w)).persist()
+        bounds = []
+        if samp:
+            step = len(samp) / n_parts
+            bounds = sorted({samp[int(i * step)] for i in range(1, n_parts)})
+        bound_lits = [F.lit(b) for b in bounds]
+        id_cmp = F.col(id_col)
+    if bound_lits:
+        pid = F.aggregate(
+            F.array(*bound_lits),
+            F.lit(0),
+            lambda acc, b: acc + (id_cmp > b).cast("int"),
+        )
+    else:
+        pid = F.lit(0)
+    parted = sized.withColumn("_pid", pid)
 
-    # phase 2: base offset per partition. Partition boundaries may vary
-    # run-to-run (range sampling), but offsets keyed by each partition's
-    # min id reconstruct the SAME global prefix sum regardless.
+    # phase 2 first: base offset per bucket from a column-pruned agg —
+    # no window, no token arrays in the scan when len_col is stored.
+    # Offsets keyed by each bucket's min id reconstruct the SAME global
+    # prefix sum for any boundary placement.
     totals = sorted(
-        local.groupBy("_pid").agg(
+        parted.groupBy("_pid").agg(
             F.sum("_len").alias("_tot"), F.min(id_col).alias("_mn")
         ).collect(),
         key=lambda r: r["_mn"],
@@ -142,9 +164,22 @@ def pack_sequences(
         rows = [(0, 0)]
     off = spark.createDataFrame(rows, "_pid int, _off long")
 
-    binned = local.join(F.broadcast(off), "_pid", "left").withColumn(
-        "_start", F.col("_lcum") - F.col("_len") + F.coalesce("_off", F.lit(0))
-    ).withColumn("_bin", F.floor(F.col("_start") / context_len))
+    # rows frame, not the default RANGE frame: RANGE would give every
+    # duplicate orderBy value the same cumulative sum (ids are unique
+    # by contract, but rows is correct even when the contract is broken)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        parted.withColumn("_lcum", F.sum("_len").over(w))
+        .join(F.broadcast(off), "_pid", "left")
+        .withColumn(
+            "_start", F.col("_lcum") - F.col("_len") + F.coalesce("_off", F.lit(0))
+        )
+        .withColumn("_bin", F.floor(F.col("_start") / context_len))
+    )
 
     agg = binned.groupBy("_bin").agg(
         F.flatten(
@@ -159,8 +194,6 @@ def pack_sequences(
         ).alias("tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    # `local` stays persisted until evaluation (the offsets were computed
-    # from this materialization); Spark evicts it LRU afterwards
     return agg.select(
         F.col("_bin").cast("long").alias("pack_id"),
         "tokens",

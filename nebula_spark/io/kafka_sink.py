@@ -58,10 +58,17 @@ class TopicDir:
 
     def begin(self, epoch: int | str | None = None) -> "TopicTxn | None":
         """BeginTxn. Returns None when `epoch` was already committed —
-        the re-delivered batch must be skipped, not re-sent."""
-        if epoch is not None and str(epoch) in self.committed_epochs():
+        the re-delivered batch must be skipped, not re-sent.
+
+        O(1): epoch markers are named ``epoch-<e>.json``, so the dedup
+        check is a single existence test — no directory scan, no JSON
+        parse (a 10^5-batch stream calls this once per batch)."""
+        if epoch is not None and os.path.exists(self.epoch_marker(epoch)):
             return None
         return TopicTxn(self, epoch)
+
+    def epoch_marker(self, epoch) -> str:
+        return os.path.join(self.path, _COMMITS, f"epoch-{epoch}.json")
 
     def committed_epochs(self) -> set[str]:
         out = set()
@@ -132,27 +139,40 @@ class TopicTxn:
         self._sends += 1
 
     def commit(self) -> None:
-        """CommitTxn: one O_EXCL marker makes every sent message visible
-        atomically; a second committer of the same epoch fails cleanly."""
+        """CommitTxn: one marker makes every sent message visible
+        atomically; a second committer of the same epoch fails cleanly
+        (``FileExistsError``).
+
+        The record is fully written + fsync'd to a hidden temp file and
+        *published* via ``os.link`` to the marker name — link keeps
+        O_EXCL's exactly-one-winner semantics while guaranteeing a
+        concurrent consumer never observes a half-written marker (the
+        read-committed contract)."""
         if self._aborted:
             raise RuntimeError("transaction aborted")
-        name = (
-            f"epoch-{self.epoch}.json"
-            if self.epoch is not None
-            else f"txn-{self._dir[len(_TXN_PREFIX):]}.json"
-        )
-        marker = os.path.join(self.topic.path, _COMMITS, name)
+        if self.epoch is not None:
+            marker = self.topic.epoch_marker(self.epoch)
+        else:
+            marker = os.path.join(
+                self.topic.path, _COMMITS, f"txn-{self._dir[len(_TXN_PREFIX):]}.json"
+            )
         rec = {
             "epoch": self.epoch,
             "txn_dir": self._dir,
             "sends": self._sends,
             "committed_at": time.time(),
         }
-        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        with os.fdopen(fd, "w") as f:
+        # '.tmp-' prefix + no '.json' suffix: invisible to the consumer
+        # listings even if a crash strands it
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump(rec, f)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker)  # atomic publish; FileExistsError on race
+        finally:
+            os.unlink(tmp)
         self._committed = True
 
     def abort(self) -> None:
@@ -178,6 +198,13 @@ def produce_exactly_once(
         txn.send(df, key_col=key_col, value_col=value_col)
         txn.commit()
         return True
+    except FileExistsError:
+        # two producers raced the same epoch and both passed begin();
+        # the loser's marker create fails — a benign duplicate delivery,
+        # not an error: drop the staged files and report "skipped"
+        # exactly like the begin()-time dedup path
+        txn.abort()
+        return False
     except Exception:
         txn.abort()
         raise

@@ -165,17 +165,40 @@ class LakeSource:
 def incremental_diff(spark: SparkSession, path: str, from_version: int, to_version: int | None = None) -> DataFrame:
     """Incremental read between two snapshots: rows whose _seq advanced
     after ``from_version`` (the reference's snapshot-based incremental
-    position, iceberg_source.go snapshot_manager.go:27-49). Includes
-    tombstones so consumers can propagate deletes."""
+    position, iceberg_source.go, snapshot_manager.go:26-49 — which
+    walks snapshot/manifest deltas instead of scanning the table).
+    Includes tombstones so consumers can propagate deletes.
+
+    Scan shape: the table is copy-on-write at bucket granularity, so a
+    row can only have changed if its bucket's FILE LIST differs between
+    the two snapshots. The changed-bucket set comes from the snapshot
+    metadata alone (a per-version manifest diff — no data read), and
+    both sides of the _seq comparison scan ONLY those buckets. A CDC
+    "what changed since v" over a 100 TB table therefore reads the
+    touched fraction twice, not the whole table twice."""
     from pyspark.sql import functions as F
 
     from nebula_spark.lake import LakeTable
 
     t = LakeTable.load(path)
-    old = t.read(spark, version=from_version, include_internal=True).select(
-        F.col(t.key_col), F.col("_seq").alias("_old_seq")
-    )
-    new = t.read(spark, version=to_version, include_internal=True)
+    to_v = t.snapshot().version if to_version is None else to_version
+    buckets: list[int] | None
+    try:
+        changed: set[int] = set()
+        for v in range(from_version + 1, to_v + 1):
+            changed |= t._buckets_changed_by(v)
+        buckets = sorted(changed)
+    except FileNotFoundError:
+        # an intermediate snapshot was expired — metadata diff is
+        # impossible; fall back to the full-table comparison
+        buckets = None
+
+    new = t.read(spark, version=to_v, buckets=buckets, include_internal=True)
+    if buckets is not None and not buckets:
+        return new.limit(0)
+    old = t.read(
+        spark, version=from_version, buckets=buckets, include_internal=True
+    ).select(F.col(t.key_col), F.col("_seq").alias("_old_seq"))
     return new.join(old, on=t.key_col, how="left").filter(
         F.col("_old_seq").isNull() | (F.col("_seq") > F.col("_old_seq"))
     ).drop("_old_seq")

@@ -264,6 +264,7 @@ def merge_into(
     already_deduped: bool = False,
     resolve_strategy: str = "auto",
     conflict: str = "last_write_wins",
+    on_rejected=None,
 ) -> MergeResult:
     """Apply one change batch. ``batch`` must contain the table columns
     plus ``op_col``/``seq_col`` (and optionally ``partition_col`` for
@@ -284,6 +285,18 @@ def merge_into(
       ``MergeResult.rejected`` (persisted; caller routes to DLQ and
       unpersists). New keys (and keys present only as tombstones)
       apply normally.
+
+    ``on_rejected``: callable(df) invoked with the (persisted) rejected
+    rows BEFORE the table commit. Routing conflicts this way (instead
+    of reading ``MergeResult.rejected`` after the call) makes the
+    routing crash-safe: if the commit lands but the process dies before
+    the DLQ write, a retry would skip the already-applied epoch and the
+    rejected set — derivable only from the PRE-merge table state —
+    would be lost forever. With the callback, a post-callback crash
+    retries the whole merge against unchanged state and re-derives the
+    identical set (idempotent DLQ epochs absorb the duplicate). When a
+    callback is given, ``MergeResult.rejected`` stays None and the
+    intermediate is unpersisted internally.
     """
     from nebula_spark.cdc.dedup import lww_dedup  # lazy: avoids lake<->cdc cycle
 
@@ -397,7 +410,14 @@ def merge_into(
             )
             rejected = deduped.join(live, on=key, how="leftsemi").persist()
             res.rows_rejected = rejected.count()
-            res.rejected = rejected
+            if on_rejected is not None:
+                try:
+                    if res.rows_rejected:
+                        on_rejected(rejected)
+                finally:
+                    rejected.unpersist()
+            else:
+                res.rejected = rejected
             deduped = deduped.join(live, on=key, how="leftanti")
         deduped = table.bucket_of(deduped)
         # the join/broadcast plans reference the batch twice (matched +

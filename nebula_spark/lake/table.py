@@ -322,6 +322,8 @@ class LakeTable:
                 new_files_by_bucket=new_files_by_bucket,
                 replaced_buckets=replaced_buckets,
                 new_schema=new_schema,
+                renames=renames,  # must survive the rebase, or old files
+                # would read with the renamed column nulled
                 applied_update=applied_update,
                 summary=summary,
                 _retries=_retries - 1,

@@ -20,12 +20,14 @@ from the first unconsumed file; already-applied epochs are no-ops.
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
 from nebula_spark.cdc.apply import apply_changes
-from nebula_spark.cdc.binlog import BINLOG_SCHEMA
+from nebula_spark.cdc.binlog import BINLOG_SCHEMA, MULTI_BINLOG_SCHEMA
 from nebula_spark.cdc.filters import EventFilter
+from nebula_spark.cdc.transforms import Transform
 from nebula_spark.lake.table import LakeTable
 
 
@@ -142,4 +144,161 @@ def run_stream(
         "snapshot_version": table.snapshot().version,
         "lineage_offsets": table.partition_offsets(),
         "detail": ingest_metrics.snapshot(),
+    }
+
+
+@dataclass
+class TableRoute:
+    """Per-table routing config for a multi-table CDC stream — the
+    Spark-side analogue of the reference's per-table schema caches and
+    column filters (pkg/cdc/mysql.go:493-604 TableMap routing;
+    internal/pipeline/cdc.go:62-65 per-table column filters)."""
+
+    table: LakeTable
+    event_filter: EventFilter | None = None
+    transforms: list[Transform] = field(default_factory=list)
+    evolution_policy: str = "default"
+    renames: dict[str, str] | None = None
+    conflict: str | None = None
+    # payload projection: restrict this table to a column subset of the
+    # (union-schema) stream — the per-table column filter. Envelope
+    # columns are always kept.
+    columns: list[str] | None = None
+
+
+def run_multi_stream(
+    spark: SparkSession,
+    routes: dict[str, "TableRoute | LakeTable"],
+    binlog_dir: str,
+    checkpoint_dir: str,
+    *,
+    table_col: str = "source_table",
+    max_files_per_trigger: int = 1,
+    dlq_table: LakeTable | None = None,
+    available_now: bool = True,
+    schema=None,
+    retry_max: int = 3,
+    retry_backoff_s: float = 1.0,
+) -> dict:
+    """ONE binlog stream fanned out to N LakeTables by ``table_col`` —
+    the reference tails many tables per connection and routes rows via
+    its TableMap (pkg/cdc/mysql.go:493-604); here one file-source
+    stream carries every table's events and ``foreachBatch`` splits
+    each micro-batch per table, applying per-table merge + evolution.
+
+    Exactly-once is PER TABLE: each LakeTable's commit manifest records
+    the epoch independently, so a crash mid-fan-out (table A applied,
+    table B not) retries the batch, table A skips as already-applied,
+    and table B applies — no duplicates, no gaps. The micro-batch is
+    persisted once so the N per-table filters don't re-read the source
+    N times (bounded: one micro-batch).
+
+    Events whose ``table_col`` matches no route go to the DLQ
+    (reason-stamped ``unrouted``) when one is configured, else are
+    dropped and counted."""
+    from pyspark.sql import functions as F
+
+    routes = {
+        name: r if isinstance(r, TableRoute) else TableRoute(table=r)
+        for name, r in routes.items()
+    }
+    metrics: dict = {
+        "batches": 0,
+        "retries": 0,
+        "events_unrouted": 0,
+        "tables": {name: {"batches": 0, "skipped": 0, "events": 0} for name in routes},
+    }
+
+    def apply_batch(batch_df, batch_id: int):
+        attempt = 0
+        while True:
+            batch_df.persist()
+            try:
+                known = list(routes)
+                unknown = batch_df.filter(~F.col(table_col).isin(known))
+                n_unknown = unknown.count()
+                if n_unknown:
+                    metrics["events_unrouted"] += n_unknown
+                    if dlq_table is not None:
+                        from nebula_spark.lake.merge import append_into
+
+                        bad = unknown.withColumn(
+                            "event_key",
+                            F.concat_ws(
+                                ":",
+                                F.lit(str(batch_id)),
+                                F.col("op_sequence"),
+                                F.lit("unrouted"),
+                            ),
+                        )
+                        append_into(
+                            spark, dlq_table, bad, epoch=f"u{batch_id}",
+                            summary_op="dlq-unrouted",
+                        )
+                for name, route in routes.items():
+                    sub = batch_df.filter(F.col(table_col) == name).drop(table_col)
+                    if route.columns is not None:
+                        from nebula_spark.cdc.apply import ENVELOPE_COLS
+
+                        keep = [
+                            c
+                            for c in sub.columns
+                            if c in route.columns or c in ENVELOPE_COLS
+                        ]
+                        sub = sub.select(*keep)
+                    res = apply_changes(
+                        spark,
+                        route.table,
+                        sub,
+                        epoch=batch_id,
+                        event_filter=route.event_filter,
+                        transforms=route.transforms,
+                        evolution_policy=route.evolution_policy,
+                        renames=route.renames,
+                        conflict=route.conflict,
+                        dlq_table=dlq_table,
+                    )
+                    m = metrics["tables"][name]
+                    m["batches"] += 1
+                    if res.merge.skipped:
+                        m["skipped"] += 1
+                    else:
+                        m["events"] += res.merge.events_in
+                metrics["batches"] += 1
+                return
+            except Exception:
+                attempt += 1
+                if attempt > retry_max:
+                    raise
+                metrics["retries"] += 1
+                time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
+            finally:
+                batch_df.unpersist()
+
+    reader = (
+        spark.readStream.schema(schema or MULTI_BINLOG_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(binlog_dir)
+    )
+    writer = reader.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    t0 = time.time()
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        return {"query_id": str(q.id)}
+    dt = time.time() - t0
+    total_events = sum(m["events"] for m in metrics["tables"].values())
+    return {
+        **metrics,
+        "seconds": round(dt, 2),
+        "events": total_events,
+        "events_per_sec": round(total_events / dt, 1) if dt > 0 else None,
+        "versions": {
+            name: r.table.snapshot().version for name, r in routes.items()
+        },
     }

@@ -7,10 +7,14 @@ from __future__ import annotations
 import duckdb
 
 
-def replay_final_state(binlog_parquet_glob: str, base_parquet: str | None = None):
+def replay_final_state(
+    binlog_parquet_glob: str, base_parquet: str | None = None, where: str = ""
+):
     """Return DuckDB relation of the expected final table
     (doc_id, tokens, n_tok, source), LWW over op_sequence; DELETE wins
-    remove. ``base_parquet`` rows act as op_sequence=-1 INSERTs."""
+    remove. ``base_parquet`` rows act as op_sequence=-1 INSERTs.
+    ``where``: extra predicate on the binlog scan (e.g. a
+    ``source_table`` route filter for multi-table streams)."""
     con = duckdb.connect()
     base_cte = (
         f"SELECT -1::BIGINT AS op_sequence, 'INSERT' AS op, doc_id, tokens, "
@@ -18,12 +22,13 @@ def replay_final_state(binlog_parquet_glob: str, base_parquet: str | None = None
         if base_parquet
         else ""
     )
+    cond = f"WHERE {where}" if where else ""
     q = f"""
     SELECT doc_id, tokens, n_tok, source FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY op_sequence DESC) rn
       FROM ({base_cte}
             SELECT op_sequence, op, doc_id, tokens, n_tok, source
-            FROM read_parquet('{binlog_parquet_glob}'))
+            FROM read_parquet('{binlog_parquet_glob}') {cond})
     ) WHERE rn = 1 AND op <> 'DELETE'
     ORDER BY doc_id
     """

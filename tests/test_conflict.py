@@ -307,3 +307,51 @@ def test_commit_race_on_same_bucket_raises(spark, tmp_path):
     assert snap.version > head_before + 1  # rebased past the racer
     paths = [e["path"] for fs in snap.files.values() for e in fs]
     assert "/fake/racer2.parquet" in paths and "/fake/loser.parquet" in paths
+
+
+def test_reject_dlq_routing_happens_before_commit(spark, tmp_path):
+    """Crash-safety of conflict routing (the lost-rejects hazard): if
+    the DLQ write dies, the merge must NOT have committed — otherwise a
+    retry skips the applied epoch and the rejected set (derivable only
+    from pre-merge state) is gone forever. on_rejected runs pre-commit,
+    so the failure aborts the merge and the retry re-derives the same
+    conflicts against unchanged state."""
+    table = _fresh(tmp_path, "rejpre")
+    merge_into(
+        spark,
+        table,
+        _batch(spark, [(1, "INSERT", "a", [1], 1, "web")]),
+        epoch=0,
+    )
+    v_before = table.snapshot().version
+
+    def exploding_route(df):
+        raise RuntimeError("dlq write failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="dlq write failed"):
+        merge_into(
+            spark,
+            table,
+            _batch(spark, [(10, "UPDATE", "a", [9], 1, "code")]),
+            epoch=1,
+            conflict="reject",
+            on_rejected=exploding_route,
+        )
+    # nothing committed, epoch NOT applied — the retry replays fully
+    assert table.snapshot().version == v_before
+    assert "1" not in table.applied_epochs()
+
+    routed = []
+    res = merge_into(
+        spark,
+        table,
+        _batch(spark, [(10, "UPDATE", "a", [9], 1, "code")]),
+        epoch=1,
+        conflict="reject",
+        on_rejected=lambda df: routed.extend(r["doc_id"] for r in df.collect()),
+    )
+    assert routed == ["a"] and res.rows_rejected == 1
+    assert res.rejected is None  # consumed by the callback, unpersisted
+    assert "1" in table.applied_epochs()

@@ -186,3 +186,69 @@ def test_rename_key_column_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="merge key"):
         table.commit(renames={"doc_id": "document_id"})
+
+
+def test_forward_transitive_mode():
+    """FORWARD_TRANSITIVE (pkg/schema/registry.go:27-40): the FORWARD
+    rule applied against every historical schema, not just the latest —
+    the caller iterates history, the mode itself must behave as FORWARD."""
+    old = _s(("a", T.LongType(), True), ("b", T.StringType(), True))
+    removed = _s(("a", T.LongType(), True))
+    assert check_compatibility(old, removed, mode="FORWARD_TRANSITIVE")
+    added_opt = _s(*[(f.name, f.dataType, True) for f in old.fields],
+                   ("c", T.DoubleType(), True))
+    assert not check_compatibility(old, added_opt, mode="FORWARD_TRANSITIVE")
+    # FULL_TRANSITIVE = both directions
+    assert check_compatibility(old, removed, mode="FULL_TRANSITIVE")
+    narrowing = _s(("a", T.IntegerType(), True), ("b", T.StringType(), True))
+    assert check_compatibility(old, narrowing, mode="FULL_TRANSITIVE")
+
+    with pytest.raises(ValueError):
+        check_compatibility(old, removed, mode="SIDEWAYS")
+
+
+def test_commit_retry_preserves_renames(spark, tmp_path, monkeypatch):
+    """A rename commit that loses the optimistic-concurrency race must
+    carry the rename map through the rebase — dropping it would null
+    the renamed column's history in pre-rename files."""
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2
+    )
+    apply_changes(spark, table, gen_binlog(spark, 500, 50, seed=41), epoch=0)
+    racer = LakeTable.load(str(tmp_path / "t"))
+
+    # inject the race exactly between snapshot() and _write_snapshot:
+    # the first write attempt finds its version taken and must rebase
+    orig_write = LakeTable._write_snapshot
+    state = {"raced": False}
+
+    def colliding_write(self, version, snap):
+        if not state["raced"] and snap["summary"].get("operation") == "rename":
+            state["raced"] = True
+            racer.commit(summary={"operation": "racer"})
+            raise FileExistsError(version)
+        return orig_write(self, version, snap)
+
+    monkeypatch.setattr(LakeTable, "_write_snapshot", colliding_write)
+
+    new_user = T.StructType(
+        [
+            T.StructField(
+                "origin" if f.name == "source" else f.name, f.dataType, f.nullable
+            )
+            for f in table.user_schema.fields
+        ]
+    )
+    from nebula_spark.lake.table import INTERNAL_FIELDS
+
+    snap = table.commit(
+        new_schema=T.StructType(list(new_user.fields) + INTERNAL_FIELDS),
+        renames={"source": "origin"},
+        summary={"operation": "rename"},
+    )
+    assert state["raced"], "collision was never exercised"
+    assert snap.raw["renames"] == {"source": "origin"}
+    # old files still read with history under the new name
+    out = table.read(spark)
+    assert "origin" in out.columns
+    assert out.filter(F.col("origin").isNotNull()).count() > 0

@@ -165,3 +165,49 @@ def test_jdbc_source_smoke_if_driver(spark, tmp_path):
     assert df.count() == 100
     row = df.filter("id = 3").first()
     assert row["v"] == 6 and row["name"] == "r3"
+
+
+def test_incremental_diff_scans_only_changed_buckets(spark, tmp_path, monkeypatch):
+    """The snapshot-metadata diff must prune both scans to the buckets
+    whose file lists changed between the versions (copy-on-write ⇒
+    unchanged bucket = unchanged rows) — the reference's manifest walk
+    (sources/iceberg/snapshot_manager.go:26-49), not two full reads."""
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=16
+    )
+    merge_into(spark, table, gen_binlog(spark, 4000, 400, seed=11), epoch=0)
+    v1 = table.snapshot().version
+    # touch only a couple of keys → a couple of buckets
+    delta = (
+        gen_binlog(spark, 40, 400, seed=12)
+        .withColumn(
+            "doc_id",
+            F.when(F.col("op_sequence") % 2 == 0, F.lit("doc-00000003")).otherwise(
+                F.lit("doc-00000007")
+            ),
+        )
+        .withColumn("op_sequence", F.col("op_sequence") + 10_000)
+        .withColumn("op", F.lit("UPDATE"))
+    )
+    merge_into(spark, table, delta, epoch=1)
+    changed = set()
+    for v in range(v1 + 1, table.snapshot().version + 1):
+        changed |= table._buckets_changed_by(v)
+    assert 0 < len(changed) < 16
+
+    seen = []
+    orig_read = LakeTable.read
+    monkeypatch.setattr(
+        LakeTable,
+        "read",
+        lambda self, sp, buckets=None, **kw: (
+            seen.append(buckets),
+            orig_read(self, sp, buckets=buckets, **kw),
+        )[1],
+    )
+    diff = incremental_diff(spark, str(tmp_path / "t"), from_version=v1)
+    rows = diff.collect()
+    assert {r["doc_id"] for r in rows} == {"doc-00000003", "doc-00000007"}
+    # both the new-side and old-side scans were bucket-pruned
+    assert len(seen) == 2
+    assert all(b is not None and set(b) == changed for b in seen)

@@ -137,3 +137,35 @@ def test_lsh_recall_vs_brute_force(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_dedup_candidate_ops_leave_no_cached_rdds(spark):
+    """The LSH candidate/verify path must not leak persisted
+    intermediates (a long-lived corpus-dedup driver would accumulate
+    cached partitions until LRU pressure) — the groupBy pair-enumeration
+    shape needs no cache at all."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.functions.dedupe import (
+        minhash_lsh_candidates,
+        ngram_jaccard,
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.concat(F.lit("w"), ((F.col("id") % 7) * i).cast("string")),
+            ),
+        ).alias("text"),
+    )
+    pairs = minhash_lsh_candidates(docs)
+    pairs.collect()
+    ngram_jaccard(pairs, docs).collect()
+    simhash_near_pairs(simhash64(docs)).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
