@@ -17,7 +17,8 @@ Query families (26 total, every one oracle-checked):
                      temp LakeTable through merge_into), event filter
 - dedup_*          — exact, MinHash-LSH, n-gram Jaccard, SimHash (md5
                      bit derivation) + banded near-pairs,
-                     embedding-cosine near-dups
+                     embedding-cosine near-dups, end-to-end near-dup
+                     removal (candidates → verify → greedy drop)
 - ann_*            — brute-force cosine top-k, hyperplane-LSH top-k
 - text_* / events_* — stats, quality, histogram, sessionization
 - pack_sequences   — deterministic global-prefix-sum context packing
@@ -305,6 +306,14 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=3)
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4)
+
+
 def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebula_spark.functions.dedupe import minhash_lsh_candidates
 
@@ -319,6 +328,17 @@ def _jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs, n_hashes=4, band_size=2)
     return ngram_jaccard(pairs, docs)
+
+
+def _near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nebula_spark.functions.dedupe import near_dedup
+
+    return near_dedup(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        n_hashes=4,
+        band_size=2,
+    ).select("doc_id")
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,9 +474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_events_by_type": _agg_events,
         "ann_cosine_topk": _ann_brute,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         "dedup_embedding_cosine": _embedding_near_dup,
         "dedup_minhash_lsh": _minhash,
         "dedup_ngram_jaccard": _jaccard,
+        "dedup_near_corpus": _near_dedup,
         "dedup_simhash": _simhash,
         "dedup_simhash_pairs": _simhash_pairs,
         "token_histogram": _token_histogram,
@@ -639,6 +661,53 @@ def oracle_sql() -> dict[str, str]:
               FROM bk a JOIN bk x ON a.bkt = x.bkt AND a.vec_id < x.vec_id
             ) WHERE cos >= 0.3
         """,
+        "ann_ivf_topk": """
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cents AS (
+              SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+                     emb
+              FROM (SELECT vec_id, emb FROM c
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)
+            ), cs AS (
+              SELECT v.vec_id, t.cid,
+                     round(list_dot_product(v.emb, t.emb) /
+                           (sqrt(list_dot_product(v.emb, v.emb)) *
+                            sqrt(list_dot_product(t.emb, t.emb))), 6) AS s
+              FROM c v CROSS JOIN cents t
+            ), assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid ASC) AS rn
+                FROM cs
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS query_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid ASC) AS rn
+                FROM cs WHERE vec_id < 10
+              ) WHERE rn <= 4
+            )
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     round(list_dot_product(q.emb, x.emb) /
+                           (sqrt(list_dot_product(q.emb, q.emb)) *
+                            sqrt(list_dot_product(x.emb, x.emb))), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round(list_dot_product(q.emb, x.emb) /
+                           (sqrt(list_dot_product(q.emb, q.emb)) *
+                            sqrt(list_dot_product(x.emb, x.emb))), 6) DESC,
+                           a.vec_id ASC) AS rank
+              FROM probes p
+              JOIN assign a ON a.cell = p.cell
+              JOIN c q ON q.vec_id = p.query_id
+              JOIN c x ON x.vec_id = a.vec_id
+              WHERE a.vec_id <> p.query_id
+            ) WHERE rank <= 3
+        """,
         "dedup_minhash_lsh": r"""
             WITH ws AS (
               SELECT doc_id,
@@ -698,6 +767,42 @@ def oracle_sql() -> dict[str, str]:
                          len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
             FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
                        JOIN sh sb ON pairs.doc_b = sb.doc_id
+        """,
+        "dedup_near_corpus": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+              FROM ws
+            ), sig AS (
+              SELECT doc_id,
+                     [list_min(list_transform(s, x -> md5(x || '#0'))),
+                      list_min(list_transform(s, x -> md5(x || '#1'))),
+                      list_min(list_transform(s, x -> md5(x || '#2'))),
+                      list_min(list_transform(s, x -> md5(x || '#3')))] AS g
+              FROM sh
+            ), bands AS (
+              SELECT doc_id, 0 AS band, g[1] || '|' || g[2] AS key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, g[3] || '|' || g[4] AS key FROM sig
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b USING (band, key)
+              WHERE a.doc_id < b.doc_id
+            ), dupes AS (
+              SELECT DISTINCT doc_b
+              FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
+                         JOIN sh sb ON pairs.doc_b = sb.doc_id
+              WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+                    len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.8
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_b FROM dupes)
         """,
         "events_sessionize": """
             WITH s AS (

@@ -100,6 +100,59 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_minhash_scale(spark, sf_dir: str) -> dict:
+    """Corpus-dedup scaling workload: MinHash-LSH candidate generation
+    over the documents table, optionally replicated ×K (deterministic
+    near-dup-preserving variants) so the N-vs-4N comparison runs at a
+    size where the parallel stages dominate. This is the 100 TB
+    LLM-pipeline path (signature fold → band groupBy → in-group pair
+    enumeration — one shuffle)."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.functions.dedupe import minhash_lsh_candidates
+
+    rep = int(os.environ.get("BENCH_MINHASH_REPLICATE", "1"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    if rep > 1:
+        # spread the base corpus BEFORE the explode: the sf documents
+        # table is one small parquet file = one input split, and a
+        # single-task ×K replication is a serial stage that caps
+        # scaling efficiency (Amdahl) — a real corpus arrives in many
+        # files, so parallel generation is the faithful shape
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        docs = docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(rep - 1))).alias("_r"),
+            "doc_id",
+            "text",
+        ).select(
+            F.concat_ws("#", "doc_id", F.col("_r").cast("string")).alias("doc_id"),
+            # salt EVERY word with the replica index: replica r and r'
+            # of the same doc share no shingles (no cross-replica LSH
+            # collisions → candidate pairs grow linearly in K, not
+            # quadratically), while the corpus's own near-dup structure
+            # is preserved inside each replica
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(w, F.lit("_"), F.col("_r").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    n_docs = docs.count()
+    t0 = time.time()
+    n_pairs = minhash_lsh_candidates(docs).count()
+    dt = time.time() - t0
+    return {
+        "docs": n_docs,
+        "pairs": n_pairs,
+        "seconds": round(dt, 2),
+        "docs_per_sec": round(n_docs / dt, 1),
+    }
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry
 
@@ -136,6 +189,23 @@ def main() -> None:
     os.makedirs(workdir, exist_ok=True)
 
     spark = get_spark("nebula-bench", parallelism=cpus)
+
+    if os.environ.get("BENCH_ONLY_MINHASH"):
+        # scaling-evidence mode for the corpus-dedup workload
+        mh = run_minhash_scale(spark, sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "minhash_docs_per_sec",
+                    "value": mh["docs_per_sec"],
+                    "unit": "docs/sec",
+                    "sf": sf,
+                    "cpus": cpus,
+                    "minhash": mh,
+                }
+            )
+        )
+        return
 
     queries = {} if os.environ.get("BENCH_ONLY_CDC") else run_queries(spark, sf_dir)
     cdc = run_cdc_replay(spark, sf, cpus, workdir)

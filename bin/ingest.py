@@ -123,6 +123,7 @@ def cmd_stream(args) -> dict:
         max_files_per_trigger=args.max_files_per_trigger,
         conflict=args.conflict,
         renames=json.loads(args.renames) if args.renames else None,
+        auto_compact_files=args.auto_compact_files,
     )
     out["bootstrap"] = snapshot_info
     return out
@@ -252,6 +253,9 @@ def main(argv=None):
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
             s.add_argument("--max-files-per-trigger", type=int, default=1)
+            # in-stream small-file maintenance: compact any bucket
+            # whose file count exceeds this after a batch commits
+            s.add_argument("--auto-compact-files", type=int, default=None)
         s.set_defaults(fn=fn)
 
     sh = sub.add_parser("show")

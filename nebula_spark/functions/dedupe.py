@@ -161,6 +161,52 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col="text", id_col=
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the full corpus-dedup
+    pipeline as one operator: LSH candidates → exact n-gram Jaccard
+    verification → drop every doc that near-duplicates a lower-id doc.
+
+    Keep rule (greedy min-id, the standard corpus-dedup policy, cf. the
+    dedup stage of public LLM-data pipelines): a doc is dropped iff it
+    appears as the HIGHER id of a verified pair (doc_a < doc_b by
+    construction). Deterministic: survival depends only on the verified
+    pair set. Note this is one-hop, not connected components — in a
+    chain a~b, b~c (a̸~c) both b and c are dropped; transitive-closure
+    dedup would keep c, but needs an iterative algorithm that no
+    single SQL pass expresses.
+
+    Scale shape: candidates from the single-shuffle band groupBy,
+    verification only over candidate docs, and the final drop is one
+    broadcast-able anti-join of (small) dupe ids against the corpus.
+    """
+    pairs = minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col,
+        n_hashes=n_hashes, band_size=band_size, shingle_n=shingle_n,
+    )
+    verified = ngram_jaccard(pairs, df, text_col=text_col, id_col=id_col, n=shingle_n)
+    dupes = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    # materialize the (small) dupe-id set ONCE: left lazy, the whole
+    # candidate+verify subplan would re-run inside the final anti-join
+    # and again in every downstream consumer. localCheckpoint — not
+    # persist — so the blocks are freed by the ContextCleaner when the
+    # plan is garbage-collected; no unpersist obligation escapes to the
+    # caller (the persist-leak class of bug this module had).
+    dupes = dupes.localCheckpoint(eager=True)
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
 # hex digits with an odd value — bit j of a word's hash is "is the j-th
 # hex char of md5(w)||md5(w#1) odd", a derivation DuckDB reproduces
 # verbatim (substring + IN list); see oracle_sql()['dedup_simhash']

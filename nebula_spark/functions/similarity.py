@@ -128,6 +128,105 @@ def embedding_near_dups(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic centroid pick: the ``n_cells`` corpus vectors with
+    the smallest md5(id) — a pseudo-random but engine-portable sample
+    (any SQL engine reproduces the exact set), standing in for a
+    k-means training job. The IVF *index shape* — cell assignment +
+    probing — is identical whichever way centroids were trained; swap
+    in a trained list for better recall. Bounded driver collect:
+    n_cells rows."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """array of round(cosine(vec, centroid_i), 6) — centroids inlined
+    as literals, so assignment is a pure map-side expression (no
+    shuffle, no broadcast join; the centroid norms constant-fold)."""
+    return F.array(
+        *[
+            F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
+            for cv in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale
+    path alongside lsh_topk: every corpus vector is assigned to its
+    nearest centroid's cell (map-only expression over inlined centroid
+    literals), a query probes its ``n_probe`` nearest cells, and exact
+    cosine runs only against candidates met through the cell equi-join.
+    At 10^9 vectors the corpus scan stays narrow (one int cell id per
+    vector), the probe side is tiny, and no all-pairs join exists
+    anywhere. Recall rises with n_probe (n_probe == n_cells ⇒ exact).
+
+    Ties: cell = first index of the max rounded score (array_position),
+    probes ordered by (-score, cell) — both deterministic and
+    reproducible in plain SQL for the oracle."""
+    centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
+
+    def cell_of(vec: Column) -> Column:
+        s = _cell_scores(vec, centroids)
+        return F.array_position(s, F.array_max(s)).cast("int")
+
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        cell_of(F.col(vec_col)).alias("_cell"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    _cell_scores(F.col(vec_col), centroids),
+                    lambda s, i: F.struct(
+                        (-s).alias("ns"), (i + 1).cast("int").alias("cell")
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        ).alias("_probes"),
+    ).select(
+        "query_id", "_qv", F.explode(F.col("_probes.cell")).alias("_cell")
+    )
+    scored = (
+        cb.join(probed, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -73,9 +73,9 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> int:
     head = table.snapshot().version
     keep_versions = set(range(max(0, head - keep_last + 1), head + 1))
     meta = table._meta()
-    all_versions = sorted(
+    all_versions = {
         int(f[5:17]) for f in os.listdir(meta) if f.startswith("snap-")
-    )
+    }
     # files referenced by any retained snapshot stay
     live: set[str] = set()
     for v in keep_versions:
@@ -83,7 +83,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> int:
             for entries in table.snapshot(v).files.values():
                 live.update(e["path"] for e in entries)
     removed = 0
-    for v in all_versions:
+    for v in sorted(all_versions):
         if v in keep_versions:
             continue
         for entries in table.snapshot(v).files.values():

@@ -410,6 +410,9 @@ def merge_into(
             )
             rejected = deduped.join(live, on=key, how="leftsemi").persist()
             res.rows_rejected = rejected.count()
+            # rejected events never reach the table — keep the applied
+            # counter honest (they're reported on rows_rejected instead)
+            res.rows_upserted = max(0, res.rows_upserted - res.rows_rejected)
             if on_rejected is not None:
                 try:
                     if res.rows_rejected:

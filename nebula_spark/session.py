@@ -45,6 +45,38 @@ def find_jdbc_jar() -> str | None:
     return None
 
 
+def find_spark_avro_jar() -> str | None:
+    """The external spark-avro datasource jar if one is cached locally
+    (public Maven artifact ``org.apache.spark:spark-avro_2.13`` — NOT
+    the core avro-*.jar bundled with Spark, which lacks the DataSource
+    registration). Probed the same way as the JDBC driver; override
+    with ``NEBULA_AVRO_JAR``. Returns None when absent, in which case
+    the avro round-trip test skips with the artifact named."""
+    import glob
+
+    env = os.environ.get("NEBULA_AVRO_JAR")
+    if env:
+        return env if os.path.exists(env) else None
+    candidates = [
+        "~/.cache/coursier/**/spark-avro_*.jar",
+        "~/.m2/**/spark-avro_*.jar",
+        "~/.ivy2/**/spark-avro_*.jar",
+    ]
+    # Spark's own jars dir (an admin may have dropped the module there —
+    # then it's already on the classpath, but returning it is harmless)
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        candidates.append(os.path.join(spark_home, "jars", "spark-avro_*.jar"))
+    for pat in candidates:
+        base = os.path.expanduser(pat.split("**")[0].split("*")[0]) or "/"
+        if not os.path.isdir(os.path.dirname(base) or base):
+            continue
+        hits = glob.glob(os.path.expanduser(pat), recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
 def get_spark(
     app_name: str = "nebula_spark",
     parallelism: int | None = None,
@@ -84,9 +116,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    jdbc_jar = find_jdbc_jar()
-    if jdbc_jar:
-        builder = builder.config("spark.jars", jdbc_jar)
+    jars = [j for j in (find_jdbc_jar(), find_spark_avro_jar()) if j]
+    if jars:
+        builder = builder.config("spark.jars", ",".join(jars))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

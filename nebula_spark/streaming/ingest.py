@@ -48,10 +48,21 @@ def run_stream(
     metrics_path: str | None = None,
     retry_max: int = 3,
     retry_backoff_s: float = 1.0,
+    auto_compact_files: int | None = None,
 ) -> dict:
     """Run the ingest stream until the backlog is drained
     (``available_now``) or indefinitely. Returns throughput metrics
     built from the streaming progress + the table manifest.
+
+    ``auto_compact_files``: every copy-on-write merge leaves fresh
+    files in the touched buckets, so a long stream's per-bucket file
+    count — and with it read amplification — grows without bound.
+    When set, any bucket whose file count exceeds the threshold is
+    compacted to one file right after the batch commits (the metadata
+    check is free: file lists live in the snapshot). This is the
+    in-stream analogue of Iceberg's rewrite_data_files maintenance;
+    tombstones are NOT purged here (that needs the lineage low-water
+    mark — see lake.maintenance.compact).
 
     A failing micro-batch is retried ``retry_max`` times with
     exponential backoff (``retry_backoff_s * 2^attempt``); after the
@@ -116,6 +127,17 @@ def run_stream(
             metrics["skipped"] += 1
         else:
             metrics["events"] += res.merge.events_in
+        if auto_compact_files and not res.merge.skipped:
+            from nebula_spark.lake.maintenance import compact
+
+            fat = [
+                b
+                for b, fs in table.snapshot().files.items()
+                if len(fs) > auto_compact_files
+            ]
+            if fat:
+                compact(spark, table, buckets=fat)
+                metrics["compactions"] = metrics.get("compactions", 0) + 1
         if metrics_path:
             ingest_metrics.dump(metrics_path, table)
 

@@ -89,5 +89,11 @@ def main(sf_dir: str, only: list[str]):
 
 
 if __name__ == "__main__":
-    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    sys.exit(1 if main(sf, sys.argv[1:]) else 0)
+    # argv: an existing directory selects the sf dir; anything else
+    # filters to those query names (previously a dir argument silently
+    # filtered out every query and reported a vacuous ALL PASS)
+    args = sys.argv[1:]
+    dirs = [a for a in args if os.path.isdir(a)]
+    names = [a for a in args if not os.path.isdir(a)]
+    sf = dirs[0] if dirs else os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sys.exit(1 if main(sf, names) else 0)

@@ -135,12 +135,21 @@ def test_avro_roundtrip_if_available(spark, tmp_path):
     reference needing its avro lib); skip cleanly when absent."""
     import pytest
 
+    from nebula_spark.session import find_spark_avro_jar
+
     df = spark.range(100).selectExpr("cast(id as string) AS k", "id AS v")
     out = str(tmp_path / "avro")
     try:
         FileSink(out, format="avro", compression=None, mode="overwrite").write(df)
     except Exception as e:
-        pytest.skip(f"spark-avro not on classpath: {type(e).__name__}")
+        assert find_spark_avro_jar() is None, (
+            "a spark-avro jar was found but the write still failed — "
+            "probe wiring is broken"
+        )
+        pytest.skip(
+            "missing artifact org.apache.spark:spark-avro_2.13 (external "
+            f"datasource module; probed caches + NEBULA_AVRO_JAR): {type(e).__name__}"
+        )
     assert spark.read.format("avro").load(out).count() == 100
 
 

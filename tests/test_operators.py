@@ -169,3 +169,58 @@ def test_dedup_candidate_ops_leave_no_cached_rdds(spark):
     ngram_jaccard(pairs, docs).collect()
     simhash_near_pairs(simhash64(docs)).collect()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_near_dedup_drops_higher_id_duplicates(spark):
+    """End-to-end near-dup removal: verified duplicates drop the
+    higher-id doc, unrelated docs survive, chains drop greedily."""
+    from nebula_spark.functions.dedupe import near_dedup
+
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog again today"),
+        ("d2", "the quick brown fox jumps over the lazy dog again today"),  # dup of d1
+        ("d3", "the quick brown fox jumps over the lazy dog again tonight"),  # near-dup
+        ("d4", "completely different words about spark shuffles and parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    kept = {r["doc_id"] for r in near_dedup(docs, threshold=0.5, n_hashes=4, band_size=2).collect()}
+    assert "d1" in kept and "d4" in kept
+    assert "d2" not in kept  # exact dup of d1
+    assert "d3" not in kept  # near-dup of d1/d2
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with n_probe=4 of 16 cells on clustered vectors must recover
+    most true top-3 neighbors (n_probe == n_cells would be exact);
+    pins the recall floor so regressions surface."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.functions.similarity import brute_topk, ivf_topk
+
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.cos((F.col("id") % 20 + 1) * (j + 1))
+                + 0.05 * F.sin(F.col("id") * (j + 13))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+    # and exactness when every cell is probed
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=3, n_cells=8, n_probe=8).collect()
+    }
+    assert exact == truth

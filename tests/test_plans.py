@@ -135,3 +135,20 @@ def test_pack_sequences_numeric_avoids_range_exchange(spark):
     )
     plan = _plan(pack_sequences(docs, context_len=256))
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ivf_topk_is_equi_join(spark):
+    """IVF candidates must meet in a hash equi-join on the cell id —
+    cell assignment is a map-only expression (no shuffle/broadcast for
+    the assignment itself), so the only joins are cell-keyed."""
+    from nebula_spark.functions.similarity import ivf_topk
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda i: (i * F.col("id") % 97).cast("float")).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    plan = _plan(ivf_topk(emb, q, k=3, n_cells=8, n_probe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan

@@ -203,3 +203,35 @@ def test_stream_quarantines_poison_batch(spark, tmp_path):
     assert table.read(spark).count() == 0  # nothing applied
     quarantined = dlq.read(spark).filter(F.col("event_key").contains("failed-"))
     assert quarantined.count() == 1000
+
+
+def test_stream_auto_compaction_bounds_file_counts(spark, tmp_path):
+    """Long streams must not accumulate unbounded files per bucket:
+    with auto_compact_files set, any bucket over the threshold is
+    rewritten to one file after the batch commits — and the final
+    state still matches the oracle (compaction is state-preserving)."""
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 6000, 100, seed=73)
+    write_binlog_chunks(log, binlog_dir, n_chunks=4, files_per_chunk=1)
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
+    # many shuffle partitions per bucket → each merge writes several
+    # files per bucket dir (the production condition: shuffle
+    # partitions ≫ buckets); AQE's small-output coalescing would hide
+    # it at this toy size
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        m = run_stream(
+            spark,
+            table,
+            binlog_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            auto_compact_files=2,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert m.get("compactions", 0) >= 1
+    assert all(len(fs) <= 2 for fs in table.snapshot().files.values())
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
