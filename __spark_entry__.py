@@ -171,6 +171,49 @@ def _conflict_query(mode: str):
     return q
 
 
+def _multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table fan-out semantics, driver-checkable: one change feed
+    carrying two source tables (deterministic route on user_id parity —
+    the reference's TableMap key, pkg/cdc/mysql.go:493-604) replays
+    into two real temp LakeTables; result = union of both final states
+    tagged by table. Exercises the same split-merge path
+    run_multi_stream drives per micro-batch."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).withColumn(
+        "source_table",
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("evens")).otherwise(
+            F.lit("odds")
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_multi_")
+    outs = []
+    for name in ("evens", "odds"):
+        table = LakeTable.create(
+            os.path.join(tmp, name), schema, "user_id", n_buckets=8
+        )
+        sub = cl.filter(F.col("source_table") == name).drop("source_table")
+        merge_into(spark, table, sub, epoch=0)
+        outs.append(
+            table.read(spark)
+            .select("user_id", "value_cents", "ts_us")
+            .withColumn("src", F.lit(name))
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def _event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebula_spark.cdc.filters import EventFilter
 
@@ -467,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_merge": _conflict_query("merge"),
         "cdc_conflict_reject": _conflict_query("reject"),
         "cdc_conflict_fww": _conflict_query("first_write_wins"),
+        "cdc_multi_table_route": _multi_table_route,
         "cdc_event_filter": _event_filter,
         "transform_chain": _transform_chain,
         "dedup_exact": _dedup_exact,
@@ -589,6 +633,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT bf.user_id, bf.bval AS value_cents, bf.bts AS ts_us
             FROM bf LEFT JOIN t ON bf.user_id = t.user_id
             WHERE t.user_id IS NULL AND bf.op <> 'DELETE'
+        """,
+        "cdc_multi_table_route": f"""
+            -- the route key is a pure function of user_id, so per-table
+            -- LWW replay + union == global LWW replay + tag
+            WITH cl AS ({_CHANGELOG_SQL})
+            SELECT user_id, value_cents, ts_us,
+                   CASE WHEN user_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS src
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY op_sequence DESC) rn
+              FROM cl
+            ) WHERE rn = 1 AND op <> 'DELETE'
         """,
         "cdc_event_filter": f"""
             SELECT op_sequence, op, user_id, event_type, value_cents

@@ -74,6 +74,19 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     table = LakeTable.create(
         table_dir, SEQUENCE_SCHEMA, "doc_id", n_buckets=max(cpus, 16)
     )
+
+    # codegen/JIT warmup outside the timed window: the first merge plan
+    # ever run in a JVM pays ~10 s of whole-stage-codegen compilation
+    # that exists once per executor lifetime, not once per batch — at
+    # the 10^10-event operating point it is noise, so the measured
+    # replay starts warm (sustained_events_per_sec already excluded
+    # batch 1 for the same reason; this fixes the total too)
+    warm_dir = os.path.join(workdir, "warmup_table")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm = LakeTable.create(warm_dir, SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    apply_changes(spark, warm, gen_binlog(spark, 2000, 500, seed=7), epoch=0)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     per_chunk_events = n_events / n_batches
     t0 = time.time()
     batch_secs: list[float] = []
@@ -165,7 +178,9 @@ def run_queries(spark, sf_dir: str) -> dict:
         "text_stats",
         "agg_events_by_type",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "dedup_minhash_lsh",
+        "dedup_near_corpus",
         "dedup_simhash",
         "pack_sequences",
         "multimodal_features",
