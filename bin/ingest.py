@@ -65,12 +65,33 @@ def _ensure_table(args):
     )
 
 
+def _ensure_dlq(path, base_schema=None):
+    """Create-or-load the dead-letter table for a stream/ingest run:
+    stream schema + the reason-stamped event_key merge key."""
+    from pyspark.sql import types as T
+
+    from nebula_spark.cdc.binlog import BINLOG_SCHEMA
+
+    from nebula_spark.lake import LakeTable
+
+    if path is None:
+        return None
+    if LakeTable.exists(path):
+        return LakeTable.load(path)
+    schema = T.StructType(
+        list((base_schema or BINLOG_SCHEMA).fields)
+        + [T.StructField("event_key", T.StringType(), False)]
+    )
+    return LakeTable.create(path, schema, "event_key", n_buckets=4)
+
+
 def cmd_ingest(args) -> dict:
     from nebula_spark.cdc.apply import apply_changes
     from nebula_spark.cdc.snapshot import maybe_bootstrap
 
     spark = get_spark("nebula-ingest", parallelism=args.cpus)
     table = _ensure_table(args)
+    dlq = _ensure_dlq(args.dlq)
     snapshot_info = maybe_bootstrap(spark, table, args.bootstrap, args.snapshot_mode)
     # epoch = the chunk number itself (numeric, not listing position):
     # a directory that appears between runs can never inherit an
@@ -91,6 +112,7 @@ def cmd_ingest(args) -> dict:
             epoch=epoch,
             conflict=args.conflict,
             renames=renames,
+            dlq_table=dlq,
         )
         if res.merge.skipped:
             skipped += 1
@@ -114,6 +136,7 @@ def cmd_stream(args) -> dict:
 
     spark = get_spark("nebula-stream", parallelism=args.cpus)
     table = _ensure_table(args)
+    dlq = _ensure_dlq(args.dlq)
     snapshot_info = maybe_bootstrap(spark, table, args.bootstrap, args.snapshot_mode)
     out = run_stream(
         spark,
@@ -124,6 +147,7 @@ def cmd_stream(args) -> dict:
         conflict=args.conflict,
         renames=json.loads(args.renames) if args.renames else None,
         auto_compact_files=args.auto_compact_files,
+        dlq_table=dlq,
     )
     out["bootstrap"] = snapshot_info
     return out
@@ -152,6 +176,24 @@ def cmd_compact(args) -> dict:
             table, keep_last=args.keep_snapshots
         )
     return out
+
+
+def cmd_reprocess(args) -> dict:
+    """Replay dead-lettered events back into the target table (the
+    operational return path of the retry->DLQ loop): select live DLQ
+    rows by reason substring, re-apply exactly-once, tombstone them in
+    the DLQ. Re-running is a no-op until new events are quarantined."""
+    from nebula_spark.cdc.dlq import reprocess_dlq
+    from nebula_spark.lake import LakeTable
+
+    spark = get_spark("nebula-reprocess", parallelism=args.cpus)
+    return reprocess_dlq(
+        spark,
+        LakeTable.load(args.dlq),
+        LakeTable.load(args.table),
+        reasons=tuple(args.reasons.split(",")),
+        conflict=args.conflict,
+    )
 
 
 def cmd_publish(args) -> dict:
@@ -210,7 +252,12 @@ def cmd_show(args) -> dict:
         "schema_version": snap.schema_version,
         "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in snap.schema.fields],
         "n_buckets": snap.raw["n_buckets"],
-        "epochs_applied": sorted(snap.applied.keys(), key=lambda e: int(e)),
+        # numeric epochs first in order, then string-keyed ones (DLQ
+        # appends `c<e>`/`f<e>`, reprocess `rp<v>` — not ints)
+        "epochs_applied": sorted(
+            snap.applied.keys(),
+            key=lambda e: (0, int(e), "") if e.lstrip("-").isdigit() else (1, 0, e),
+        ),
         "lineage_offsets": table.partition_offsets(),
     }
 
@@ -250,6 +297,10 @@ def main(argv=None):
         )
         # declared source renames, e.g. '{"source": "origin"}'
         s.add_argument("--renames", default=None)
+        # optional dead-letter table (created on first use): malformed /
+        # rejected / poison-batch events are quarantined there instead of
+        # failing the run; replay later with the reprocess subcommand
+        s.add_argument("--dlq", default=None)
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
             s.add_argument("--max-files-per-trigger", type=int, default=1)
@@ -272,6 +323,13 @@ def main(argv=None):
     r.add_argument("--source", required=True)
     r.add_argument("--destination", required=True)
     r.set_defaults(fn=cmd_run)
+
+    rp = sub.add_parser("reprocess")
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--dlq", required=True)
+    rp.add_argument("--reasons", default="failed-")
+    rp.add_argument("--conflict", default=None)
+    rp.set_defaults(fn=cmd_reprocess)
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)

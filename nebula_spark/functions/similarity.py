@@ -152,14 +152,14 @@ def ivf_centroids(
 
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """array of round(cosine(vec, centroid_i), 6) — centroids inlined
-    as literals, so assignment is a pure map-side expression (no
-    shuffle, no broadcast join; the centroid norms constant-fold)."""
-    return F.array(
-        *[
-            F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
-            for cv in centroids
-        ]
-    )
+    as ONE nested literal array iterated by a higher-order transform,
+    so assignment is a pure map-side expression (no shuffle, no
+    broadcast join). The transform loops at runtime instead of
+    unrolling n_cells × dim literals into generated code — the
+    unrolled form blows past whole-stage-codegen method limits and
+    falls back to slow interpreted evaluation."""
+    cents = F.array(*[F.array(*[F.lit(x) for x in cv]) for cv in centroids])
+    return F.transform(cents, lambda c: F.round(cosine(vec, c), 6))
 
 
 def ivf_topk(

@@ -181,6 +181,15 @@ def pack_sequences(
         .withColumn("_bin", F.floor(F.col("_start") / context_len))
     )
 
+    # NOTE(scale): this groupBy is the second exchange of the token
+    # payload (after the window's). A split plan — pack complete bins
+    # per _pid partition (no exchange: HashPartitioning(_pid) satisfies
+    # groupBy(_pid, _bin)) and merge only the ≤1-per-boundary straddler
+    # bins — would shuffle the payload once, but both branches would
+    # re-run the window sort (Spark only reuses the exchange, not
+    # post-shuffle operators), doubling the dominant CPU stage.
+    # Measured trade favors the single-plan double shuffle; revisit if
+    # shuffle IO, not CPU, becomes the bottleneck on the target cluster.
     agg = binned.groupBy("_bin").agg(
         F.flatten(
             F.transform(

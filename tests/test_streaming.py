@@ -235,3 +235,47 @@ def test_stream_auto_compaction_bounds_file_counts(spark, tmp_path):
     assert all(len(fs) <= 2 for fs in table.snapshot().files.values())
     oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
     assert_equivalent(table.read(spark), oracle)
+
+
+def test_dlq_reprocess_roundtrip(spark, tmp_path):
+    """The return path of the dead-letter loop: a poison batch is
+    quarantined, the operator fixes the cause, reprocess_dlq replays it
+    into the target exactly-once and tombstones the DLQ — the final
+    state equals a clean replay of the original binlog."""
+    from pyspark.sql import types as T
+
+    from nebula_spark.cdc.dlq import reprocess_dlq
+
+    binlog = str(tmp_path / "b")
+    write_binlog_chunks(gen_binlog(spark, 2000, 150, seed=81), binlog, n_chunks=1)
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    dlq_schema = T.StructType(
+        list(BINLOG_SCHEMA.fields) + [T.StructField("event_key", T.StringType(), False)]
+    )
+    dlq = LakeTable.create(str(tmp_path / "dlq"), dlq_schema, "event_key", n_buckets=2)
+
+    run_stream(
+        spark,
+        table,
+        binlog,
+        checkpoint_dir=str(tmp_path / "ck"),
+        event_filter=_Flaky(100),  # never recovers -> everything quarantined
+        dlq_table=dlq,
+        retry_max=1,
+        retry_backoff_s=0.01,
+    )
+    assert table.read(spark).count() == 0
+    n_quarantined = dlq.read(spark).count()
+    assert n_quarantined == 2000
+
+    # cause fixed (no filter) -> replay
+    out = reprocess_dlq(spark, dlq, table)
+    assert out["reprocessed"] == 2000 and not out["target_skipped"]
+    oracle = replay_final_state(os.path.join(binlog, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
+    # replayed events are tombstoned in the DLQ...
+    assert dlq.read(spark).count() == 0
+    # ...so a second invocation is a no-op
+    again = reprocess_dlq(spark, dlq, table)
+    assert again["reprocessed"] == 0
+    assert_equivalent(table.read(spark), oracle)
