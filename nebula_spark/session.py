@@ -116,6 +116,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # multi-executor masters (local-cluster / standalone): the worker's
+    # memory offer does NOT size the executor JVM — spark.executor.memory
+    # does (default 1g). Irrelevant under plain local[N].
+    if os.environ.get("SPARK_EXECUTOR_MEMORY"):
+        builder = builder.config(
+            "spark.executor.memory", os.environ["SPARK_EXECUTOR_MEMORY"]
+        )
     jars = [j for j in (find_jdbc_jar(), find_spark_avro_jar()) if j]
     if jars:
         builder = builder.config("spark.jars", ",".join(jars))

@@ -323,4 +323,9 @@ def run_multi_stream(
         "versions": {
             name: r.table.snapshot().version for name, r in routes.items()
         },
+        # per-table per-source-partition high-water marks (the lineage
+        # offsets, folded from each table's commit manifest)
+        "lineage_offsets": {
+            name: r.table.partition_offsets() for name, r in routes.items()
+        },
     }
