@@ -48,6 +48,12 @@ def reprocess_dlq(
     epochs used. ``apply_kwargs`` pass through to apply_changes (e.g. a
     corrected event_filter/transforms — the reason the batch poisoned
     in the first place is usually fixed by one of these)."""
+    if apply_kwargs.get("conflict") == "reject":
+        raise ValueError(
+            "reprocessing with conflict='reject' would re-reject the very "
+            "events being replayed and tombstone them from the DLQ — they'd "
+            "be lost; replay with last_write_wins/first_write_wins/merge"
+        )
     v = dlq_table.snapshot().version
     cond = None
     for r in reasons:
@@ -59,8 +65,13 @@ def reprocess_dlq(
         return {"reprocessed": 0, "dlq_version": v}
 
     batch = rows.drop("event_key")
+    # dlq_table passes back in: a quarantined poison batch can contain
+    # genuinely malformed rows — they re-quarantine under the rp<v>
+    # epoch's event_key (no reason substring, so they won't match a
+    # `failed-` replay again) instead of being silently dropped while
+    # their originals get tombstoned below
     res: ApplyResult = apply_changes(
-        spark, target, batch, epoch=f"rp{v}", **apply_kwargs
+        spark, target, batch, epoch=f"rp{v}", dlq_table=dlq_table, **apply_kwargs
     )
 
     # tombstone the replayed events in the DLQ (op_sequence 0 beats the

@@ -147,6 +147,8 @@ def ivf_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_centroids: empty corpus")
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 

@@ -237,7 +237,11 @@ def run_multi_stream(
             batch_df.persist()
             try:
                 known = list(routes)
-                unknown = batch_df.filter(~F.col(table_col).isin(known))
+                # NULL-safe: ~isin(NULL) is NULL and would silently
+                # drop a null-routed event from BOTH sides
+                unknown = batch_df.filter(
+                    F.col(table_col).isNull() | ~F.col(table_col).isin(known)
+                )
                 n_unknown = unknown.count()
                 if n_unknown:
                     metrics["events_unrouted"] += n_unknown

@@ -279,3 +279,22 @@ def test_dlq_reprocess_roundtrip(spark, tmp_path):
     again = reprocess_dlq(spark, dlq, table)
     assert again["reprocessed"] == 0
     assert_equivalent(table.read(spark), oracle)
+
+
+def test_dlq_reprocess_rejects_reject_mode(spark, tmp_path):
+    """conflict='reject' during reprocess would re-reject the replayed
+    events while tombstoning their DLQ originals — a data-loss footgun
+    the API refuses."""
+    from pyspark.sql import types as T
+
+    import pytest
+
+    from nebula_spark.cdc.dlq import reprocess_dlq
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
+    dlq_schema = T.StructType(
+        list(BINLOG_SCHEMA.fields) + [T.StructField("event_key", T.StringType(), False)]
+    )
+    dlq = LakeTable.create(str(tmp_path / "dlq"), dlq_schema, "event_key", n_buckets=2)
+    with pytest.raises(ValueError, match="reject"):
+        reprocess_dlq(spark, dlq, table, conflict="reject")
