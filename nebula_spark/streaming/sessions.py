@@ -1,0 +1,139 @@
+"""Streaming sessionization — windowed state over an event stream.
+
+Two implementations, deliberately layered the Spark-first way:
+
+- ``stream_sessionize``: the built-in path. ``session_window(ts, gap)``
+  + watermark; everything JVM-side, closed sessions emitted in append
+  mode once the watermark passes their end. This is what you use when
+  the session rule is "gap of inactivity" — never hand-roll state for
+  something the engine expresses natively.
+- ``stream_sessionize_custom``: ``applyInPandasWithState`` for a rule
+  session_window CANNOT express — here, sessions also close when they
+  reach ``max_events`` (think: bounding a training-example context, or
+  a fraud rule). State per user is a few scalars; batches arrive as
+  Arrow-backed pandas frames (no per-row Python).
+
+Both shapes scale the same way: state is partitioned by the group key
+across executors, and the state store checkpoints with the stream —
+resume-on-restart comes for free, matching the engine's exactly-once
+posture (the reference has no streaming-session analogue; this belongs
+to the training-data toolkit around the lake).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Built-in session windows over a STREAMING DataFrame: one line of
+    plan, closed sessions appear when the watermark passes them."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_sessionize_custom(
+    events: DataFrame,
+    gap_s: int = 1800,
+    max_events: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful sessionizer: like the gap rule, but a session
+    ALSO closes after ``max_events`` rows — inexpressible with
+    session_window. applyInPandasWithState keeps (start, last, n) per
+    user; closed sessions are emitted as they close, the open tail
+    stays in state until more data (or a timeout policy) arrives.
+
+    Determinism contract: within each micro-batch the group's rows are
+    sorted by ``ts`` before folding, so results depend on the batch
+    boundaries only through which sessions have CLOSED yet — the
+    closed-session set for fully-delivered data is independent of the
+    batch split (same rule as the batch oracle)."""
+    import pandas as pd  # noqa: F401 (documents the pandas dependency)
+
+    cap = max_events if max_events is not None else 1 << 62
+
+    def fold(key, pdf_iter, state):
+        (user,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        out = []
+        for pdf in pdf_iter:
+            ts_us = (
+                pdf[ts_col].astype("datetime64[us]").astype("int64").sort_values()
+            )
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n = t, t, 1
+                    continue
+                if t - last_us > gap_s * 1_000_000:
+                    out.append((user, start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+                if n >= cap:
+                    out.append((user, start_us, last_us, n))
+                    start_us, last_us, n = None, None, 0
+        if start_us is None:
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+        import pandas as pd
+
+        if not out:
+            yield pd.DataFrame(
+                columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+            return
+        df = pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+        df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
+        yield df
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
