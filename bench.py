@@ -72,7 +72,13 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     table_dir = os.path.join(workdir, "table")
     shutil.rmtree(table_dir, ignore_errors=True)
     table = LakeTable.create(
-        table_dir, SEQUENCE_SCHEMA, "doc_id", n_buckets=max(cpus, 16)
+        table_dir,
+        SEQUENCE_SCHEMA,
+        "doc_id",
+        n_buckets=max(cpus, 16),
+        # NEBULA_MERGE_MODE=mor appends deltas instead of rewriting
+        # buckets (read-time LWW resolution) — the flat-write-cost mode
+        properties={"merge_mode": os.environ.get("NEBULA_MERGE_MODE", "cow")},
     )
 
     # codegen/JIT warmup outside the timed window: the first merge plan

@@ -61,7 +61,11 @@ def _ensure_table(args):
     if LakeTable.exists(args.table):
         return LakeTable.load(args.table)
     return LakeTable.create(
-        args.table, SEQUENCE_SCHEMA, "doc_id", n_buckets=args.buckets
+        args.table,
+        SEQUENCE_SCHEMA,
+        "doc_id",
+        n_buckets=args.buckets,
+        properties={"merge_mode": getattr(args, "merge_mode", "cow")},
     )
 
 
@@ -301,6 +305,10 @@ def main(argv=None):
         # rejected / poison-batch events are quarantined there instead of
         # failing the run; replay later with the reprocess subcommand
         s.add_argument("--dlq", default=None)
+        # cow: merges rewrite touched buckets (plain-scan reads);
+        # mor: merges append deltas (flat write cost, read-time LWW
+        # resolution, compact to fold) — Iceberg's write modes
+        s.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
             s.add_argument("--max-files-per-trigger", type=int, default=1)

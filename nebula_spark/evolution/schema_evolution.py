@@ -128,6 +128,29 @@ def check_compatibility(
     return violations
 
 
+def check_compatibility_with_history(
+    history: list[T.StructType], new: T.StructType, mode: str = "BACKWARD"
+) -> list[str]:
+    """Registry-style compatibility over a schema HISTORY
+    (pkg/schema/registry.go:27-40): the plain modes check ``new``
+    against the latest schema only; the *_TRANSITIVE modes check it
+    against EVERY prior version — an int→long widening is backward
+    compatible with v3 but may not be with a v1 that declared the field
+    required, and only the transitive check catches that. Violations
+    are prefixed with the history index they came from."""
+    if not history:
+        return []
+    mode_u = mode.upper()
+    transitive = mode_u.endswith("_TRANSITIVE")
+    base = mode_u.removesuffix("_TRANSITIVE")
+    targets = list(enumerate(history)) if transitive else [(len(history) - 1, history[-1])]
+    out: list[str] = []
+    for i, old in targets:
+        for v in check_compatibility(old, new, mode=mode_u if not transitive else base):
+            out.append(f"v{i + 1}: {v}")
+    return out
+
+
 def evolve_schema(
     table_schema: T.StructType,
     batch_schema: T.StructType,

@@ -396,6 +396,36 @@ def merge_into(
                 batch, key=key, seq=seq_col, how=how, first_writer_wins=fww
             )
         )
+        if table.merge_mode == "mor":
+            # merge-on-read: APPEND the deduped batch rows to the
+            # touched buckets — no target scan, no join, no bucket
+            # rewrite, so per-batch cost is flat in table size (the
+            # copy-on-write path rewrites every touched bucket, which
+            # for key-spread change streams approaches a full-table
+            # rewrite per batch as the table grows). Readers resolve
+            # LWW per key (LakeTable.read); compaction folds versions.
+            if conflict != "last_write_wins":
+                raise ValueError(
+                    "merge-on-read tables support conflict='last_write_wins' "
+                    "only — the other strategies need the pre-merge target "
+                    "state, which MoR defers to read time"
+                )
+            rows = table.bucket_of(_as_table_rows(deduped, table, op_col, seq_col))
+            commit_dir = table.new_commit_dir()
+            rows.write.partitionBy("_bucket").mode("append").parquet(commit_dir)
+            new_files = LakeTable.list_written_files(commit_dir)
+            snap = table.commit(
+                new_files_by_bucket=new_files,
+                applied_update=applied_update,
+                summary={
+                    "operation": "merge-append",
+                    "epoch": epoch,
+                    "keys": res.keys_touched,
+                    "buckets": res.buckets_touched,
+                },
+            )
+            res.version = snap.version
+            return res
         if conflict == "reject":
             # conflict = key already live in the target: surface those
             # events instead of applying them; the remainder merges

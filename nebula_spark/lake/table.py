@@ -146,8 +146,35 @@ class LakeTable:
         return self.snapshot().raw["key_col"]
 
     @property
+    def merge_mode(self) -> str:
+        """'cow' (default): a merge rewrites every touched bucket —
+        reads are plain scans, writes pay rewrite amplification that
+        grows with table size for key-spread batches. 'mor'
+        (merge-on-read): a merge APPENDS the deduped batch rows to the
+        touched buckets — write cost is flat in table size; reads
+        resolve last-writer-wins per key (one hash aggregation), and
+        compaction folds the versions back down. The same trade Iceberg
+        exposes as copy-on-write vs merge-on-read."""
+        return self.snapshot().raw.get("properties", {}).get("merge_mode", "cow")
+
+    @property
     def n_buckets(self) -> int:
         return self.snapshot().raw["n_buckets"]
+
+    def schema_history(self, include_internal: bool = False) -> list[T.StructType]:
+        """Every schema version this table has had, oldest first — the
+        registry history the *_TRANSITIVE compatibility modes check
+        against (evolution.check_compatibility_with_history)."""
+        snap = self.snapshot()
+        out = []
+        for sv in sorted(int(k) for k in snap.raw["schemas"]):
+            s = T.StructType.fromJson(snap.raw["schemas"][str(sv)])
+            if not include_internal:
+                s = T.StructType(
+                    [f for f in s.fields if f.name not in INTERNAL_COLS]
+                )
+            out.append(s)
+        return out
 
     def applied_epochs(self) -> set[str]:
         return set(self.snapshot().applied.keys())
@@ -304,9 +331,11 @@ class LakeTable:
         except FileExistsError:
             if _retries <= 0:
                 raise
-            mine = {int(b) for b in replaced_buckets} | {
-                int(b) for b in (new_files_by_bucket or {})
-            }
+            # only REPLACED buckets create a rebase hazard (this writer
+            # resolved against their prior contents); pure appends
+            # (MoR merges, DLQ/bootstrap) commute with any concurrent
+            # commit and rebase safely
+            mine = {int(b) for b in replaced_buckets}
             if mine:
                 head = self._head_version()
                 for v in range(version, head + 1):
@@ -418,6 +447,21 @@ class LakeTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        if by_sv and self.merge_mode == "mor":
+            # merge-on-read resolution: buckets hold every appended row
+            # version of a key — keep the max-_seq one. One hash
+            # aggregation (partial agg combines map-side; same shuffle
+            # shape as the LWW dedup), keyed exactly like the bucket
+            # layout so a bucket-pruned read resolves only its slice.
+            key = snap.raw["key_col"]
+            others = [c for c in out.columns if c not in (key, SEQ_COL)]
+            packed = F.struct(F.col(SEQ_COL), *[F.col(c) for c in others])
+            out = (
+                out.groupBy(key)
+                .agg(F.max(packed).alias("_m"))
+                .select(F.col(key), F.col(f"_m.{SEQ_COL}"), *[F.col(f"_m.{c}") for c in others])
+                .select(*[F.col(f.name) for f in cur_schema.fields])
+            )
         if not include_internal:
             # live rows only, user columns only
             if DELETED_COL in out.columns:

@@ -252,3 +252,35 @@ def test_commit_retry_preserves_renames(spark, tmp_path, monkeypatch):
     out = table.read(spark)
     assert "origin" in out.columns
     assert out.filter(F.col("origin").isNotNull()).count() > 0
+
+
+def test_transitive_compat_checks_full_history(spark, tmp_path):
+    """*_TRANSITIVE modes validate against every schema the table has
+    ever had (registry.go:27-40), via LakeTable.schema_history: a
+    change compatible with the latest version but not an earlier one
+    passes the plain mode and fails the transitive one."""
+    from nebula_spark.evolution import check_compatibility_with_history
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2
+    )
+    # evolve: + lang column (v2)
+    batch = gen_binlog(spark, 200, 50, seed=51).withColumn("lang", F.lit("en"))
+    apply_changes(spark, table, batch, epoch=0)
+    hist = table.schema_history()
+    assert len(hist) == 2
+    assert "lang" in {f.name for f in hist[1]}
+
+    # dropping `lang` again: FORWARD-compatible with v1 (it never had
+    # lang), violates FORWARD against v2 — only transitive catches both
+    no_lang = T.StructType([f for f in hist[1].fields if f.name != "lang"])
+    assert check_compatibility_with_history(hist, no_lang, "FORWARD")
+    # against v1 alone it's clean
+    assert not check_compatibility_with_history(hist[:1], no_lang, "FORWARD")
+    # transitive reports the v2 violation with its index
+    viol = check_compatibility_with_history(hist, no_lang, "FORWARD_TRANSITIVE")
+    assert viol and any(v.startswith("v2:") for v in viol)
+
+    # adding a nullable column is clean under every transitive mode
+    plus = T.StructType(list(hist[1].fields) + [T.StructField("extra", T.StringType(), True)])
+    assert not check_compatibility_with_history(hist, plus, "BACKWARD_TRANSITIVE")

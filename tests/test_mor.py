@@ -1,0 +1,141 @@
+"""Merge-on-read tables: append-only merges + read-time LWW resolution.
+
+The CoW path rewrites every touched bucket per merge — for key-spread
+change streams that approaches a full-table rewrite per batch as the
+table grows (measured: batch seconds grew 69→104 s across a 5M-event
+replay). MoR keeps write cost flat and moves the LWW fold to read time;
+compaction folds the versions back. These tests pin the semantics:
+identical final state to CoW/oracle, exactly-once, compaction
+equivalence, and the unsupported-conflict guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nebula_spark.cdc import gen_binlog
+from nebula_spark.cdc.apply import apply_changes
+from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+from nebula_spark.lake import LakeTable, merge_into
+from nebula_spark.lake.maintenance import compact
+
+from tests.oracle import assert_equivalent, replay_final_state
+
+
+def _mor(tmp_path, name="m", buckets=4):
+    return LakeTable.create(
+        str(tmp_path / name),
+        SEQUENCE_SCHEMA,
+        "doc_id",
+        n_buckets=buckets,
+        properties={"merge_mode": "mor"},
+    )
+
+
+def test_mor_replay_matches_oracle_any_order(spark, tmp_path):
+    table = _mor(tmp_path)
+    assert table.merge_mode == "mor"
+    batches = [
+        gen_binlog(spark, 2000, 150, seed=i).withColumn(
+            "op_sequence", F.col("op_sequence") + i * 10_000
+        )
+        for i in range(3)
+    ]
+    import os
+
+    glob_dir = str(tmp_path / "log")
+    for i, b in enumerate(batches):
+        b.write.parquet(os.path.join(glob_dir, f"b{i}"))
+    # deliver out of order — MoR appends must still converge (the
+    # read-time fold is order-blind)
+    for i in (2, 0, 1):
+        merge_into(spark, table, batches[i], epoch=i)
+    oracle = replay_final_state(os.path.join(glob_dir, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
+    # appends never rewrite: every commit only ADDED files
+    snaps = [table.snapshot(v) for v in range(1, table.snapshot().version + 1)]
+    for child in snaps:
+        parent = table.snapshot(child.raw["parent"])
+        for b, fs in parent.files.items():
+            assert [e["path"] for e in fs] == [
+                e["path"] for e in child.files.get(b, [])
+            ][: len(fs)]
+
+
+def test_mor_exactly_once_and_bucket_pruned_read(spark, tmp_path):
+    table = _mor(tmp_path)
+    log = gen_binlog(spark, 3000, 200, seed=7)
+    merge_into(spark, table, log, epoch=0)
+    v = table.snapshot().version
+    res = merge_into(spark, table, log, epoch=0)  # redelivery
+    assert res.skipped and table.snapshot().version == v
+    # bucket-pruned read resolves only its slice and agrees with the full read
+    full = {r["doc_id"]: r["n_tok"] for r in table.read(spark).collect()}
+    part = {
+        r["doc_id"]: r["n_tok"]
+        for b in range(table.n_buckets)
+        for r in table.read(spark, buckets=[b]).collect()
+    }
+    assert part == full
+
+
+def test_mor_compaction_folds_versions(spark, tmp_path):
+    table = _mor(tmp_path)
+    for i in range(4):
+        merge_into(
+            spark,
+            table,
+            gen_binlog(spark, 1500, 100, seed=i).withColumn(
+                "op_sequence", F.col("op_sequence") + i * 10_000
+            ),
+            epoch=i,
+        )
+    before = sorted(
+        tuple(r) for r in table.read(spark).select("doc_id", "n_tok").collect()
+    )
+    rows_stored_before = (
+        spark.read.parquet(
+            *[e["path"] for fs in table.snapshot().files.values() for e in fs]
+        ).count()
+    )
+    compact(spark, table)
+    after = sorted(
+        tuple(r) for r in table.read(spark).select("doc_id", "n_tok").collect()
+    )
+    rows_stored_after = (
+        spark.read.parquet(
+            *[e["path"] for fs in table.snapshot().files.values() for e in fs]
+        ).count()
+    )
+    assert after == before
+    # superseded versions are physically gone after the fold
+    assert rows_stored_after < rows_stored_before
+    assert rows_stored_after == len(after) + table.read(
+        spark, include_internal=True
+    ).filter("_deleted").count()
+
+
+def test_mor_rejects_stateful_conflict_modes(spark, tmp_path):
+    table = _mor(tmp_path)
+    with pytest.raises(ValueError, match="last_write_wins"):
+        merge_into(
+            spark, table, gen_binlog(spark, 100, 20, seed=1), epoch=0,
+            conflict="reject",
+        )
+
+
+def test_mor_through_apply_changes_with_evolution(spark, tmp_path):
+    """The full apply path (DLQ split, evolution) works unchanged on a
+    MoR table — only the physical merge differs."""
+    table = _mor(tmp_path)
+    v1 = gen_binlog(spark, 1000, 80, seed=11)
+    apply_changes(spark, table, v1, epoch=0)
+    v2 = (
+        gen_binlog(spark, 500, 80, seed=12)
+        .withColumn("op_sequence", F.col("op_sequence") + 10_000)
+        .withColumn("lang", F.lit("en"))
+    )
+    r = apply_changes(spark, table, v2, epoch=1)
+    assert r.schema_changes == 1
+    out = table.read(spark)
+    assert "lang" in out.columns
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {None, "en"} or langs == {"en"}
