@@ -139,3 +139,31 @@ def test_mor_through_apply_changes_with_evolution(spark, tmp_path):
     assert "lang" in out.columns
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert langs == {None, "en"} or langs == {"en"}
+
+
+def test_mor_stream_with_auto_compaction(spark, tmp_path):
+    """MoR + streaming: appends grow per-bucket file counts every
+    batch, so in-stream auto-compaction is the natural pairing — files
+    stay bounded, reads fold correctly, final state matches the
+    oracle."""
+    import os
+
+    from nebula_spark.cdc.binlog import write_binlog_chunks
+    from nebula_spark.streaming.ingest import run_stream
+
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 6000, 150, seed=91)
+    write_binlog_chunks(log, binlog_dir, n_chunks=6, files_per_chunk=1)
+    table = _mor(tmp_path, "st", buckets=4)
+    m = run_stream(
+        spark,
+        table,
+        binlog_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        auto_compact_files=3,
+    )
+    assert m.get("compactions", 0) >= 1
+    assert all(len(fs) <= 3 for fs in table.snapshot().files.values())
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
