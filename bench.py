@@ -231,21 +231,32 @@ def main() -> None:
     queries = {} if os.environ.get("BENCH_ONLY_CDC") else run_queries(spark, sf_dir)
     cdc = run_cdc_replay(spark, sf, cpus, workdir)
     queries["cdc_replay_pipeline"] = cdc["seconds"]
+    # second replay in merge-on-read mode (same binlog): the operating
+    # mode for 10^10-event scale — append-only merges, read-time LWW
+    # fold (BENCH/BASELINE.md "merge-on-read vs copy-on-write")
+    if os.environ.get("BENCH_ONLY_CDC") or os.environ.get("NEBULA_MERGE_MODE"):
+        cdc_mor = None
+    else:
+        os.environ["NEBULA_MERGE_MODE"] = "mor"
+        try:
+            cdc_mor = run_cdc_replay(spark, sf, cpus, workdir)
+        finally:
+            del os.environ["NEBULA_MERGE_MODE"]
+        queries["cdc_replay_mor_pipeline"] = cdc_mor["seconds"]
     total = round(sum(queries.values()), 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "cpus": cpus,
-                "cdc_replay": cdc,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc_replay": cdc,
+    }
+    if cdc_mor is not None:
+        out["cdc_replay_mor"] = cdc_mor
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
