@@ -44,6 +44,17 @@ def cmd_gen(args) -> dict:
         n_hot=args.n_hot,
         n_partitions=args.partitions,
     )
+    if args.multi_tables:
+        # route each event to one of N source tables deterministically
+        # (the TableMap key of a multi-table tailer)
+        from pyspark.sql import functions as F
+
+        names = args.multi_tables.split(",")
+        pick = F.pmod(F.xxhash64(F.col("op_sequence"), F.lit(99)), F.lit(len(names)))
+        log = log.withColumn(
+            "source_table",
+            F.element_at(F.array(*[F.lit(n) for n in names]), (pick + 1).cast("int")),
+        )
     chunks = write_binlog_chunks(log, args.out, n_chunks=args.chunks)
     out = {"binlog": args.out, "chunks": len(chunks), "events": args.events}
     if args.base:
@@ -75,7 +86,6 @@ def _ensure_dlq(path, base_schema=None):
     from pyspark.sql import types as T
 
     from nebula_spark.cdc.binlog import BINLOG_SCHEMA
-
     from nebula_spark.lake import LakeTable
 
     if path is None:
@@ -157,6 +167,41 @@ def cmd_stream(args) -> dict:
     return out
 
 
+def cmd_multistream(args) -> dict:
+    """One stream fanned out to N tables by source_table (the
+    reference's multi-table tailer): --tables users=/d/u,orders=/d/o.
+    Per-table exactly-once; unrouted events go to --dlq when given."""
+    from nebula_spark.cdc.binlog import MULTI_BINLOG_SCHEMA, SEQUENCE_SCHEMA
+    from nebula_spark.lake import LakeTable
+    from nebula_spark.streaming.ingest import TableRoute, run_multi_stream
+
+    spark = get_spark("nebula-multistream", parallelism=args.cpus)
+    routes = {}
+    for spec in args.tables.split(","):
+        name, path = spec.split("=", 1)
+        t = (
+            LakeTable.load(path)
+            if LakeTable.exists(path)
+            else LakeTable.create(
+                path,
+                SEQUENCE_SCHEMA,
+                "doc_id",
+                n_buckets=args.buckets,
+                properties={"merge_mode": args.merge_mode},
+            )
+        )
+        routes[name] = TableRoute(table=t)
+    dlq = _ensure_dlq(args.dlq, base_schema=MULTI_BINLOG_SCHEMA)
+    return run_multi_stream(
+        spark,
+        routes,
+        args.binlog,
+        checkpoint_dir=args.checkpoint,
+        dlq_table=dlq,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+
+
 def cmd_compact(args) -> dict:
     """Consolidate bucket files + purge tombstones below the lineage
     low-water mark (or all, with --purge-all once the log is drained)."""
@@ -178,6 +223,12 @@ def cmd_compact(args) -> dict:
     if args.expire_snapshots:
         out["snapshots_expired_files"] = expire_snapshots(
             table, keep_last=args.keep_snapshots
+        )
+    if args.vacuum:
+        from nebula_spark.lake.maintenance import vacuum_orphans
+
+        out["orphan_files_removed"] = vacuum_orphans(
+            table, grace_s=args.vacuum_grace_s
         )
     return out
 
@@ -281,6 +332,8 @@ def main(argv=None):
     g.add_argument("--n-hot", type=int, default=1)
     g.add_argument("--partitions", type=int, default=8)
     g.add_argument("--base", default=None)
+    # comma-separated table names: emit a source_table routing column
+    g.add_argument("--multi-tables", default=None)
     g.set_defaults(fn=cmd_gen)
 
     for name, fn in (("ingest", cmd_ingest), ("stream", cmd_stream)):
@@ -332,6 +385,16 @@ def main(argv=None):
     r.add_argument("--destination", required=True)
     r.set_defaults(fn=cmd_run)
 
+    ms = sub.add_parser("multistream")
+    ms.add_argument("--tables", required=True)
+    ms.add_argument("--binlog", required=True)
+    ms.add_argument("--checkpoint", required=True)
+    ms.add_argument("--buckets", type=int, default=16)
+    ms.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+    ms.add_argument("--dlq", default=None)
+    ms.add_argument("--max-files-per-trigger", type=int, default=1)
+    ms.set_defaults(fn=cmd_multistream)
+
     rp = sub.add_parser("reprocess")
     rp.add_argument("--table", required=True)
     rp.add_argument("--dlq", required=True)
@@ -344,6 +407,10 @@ def main(argv=None):
     c.add_argument("--purge-all", action="store_true")
     c.add_argument("--expire-snapshots", action="store_true")
     c.add_argument("--keep-snapshots", type=int, default=10)
+    # remove data files referenced by no retained snapshot (failed
+    # commits / expired history); grace protects in-flight commits
+    c.add_argument("--vacuum", action="store_true")
+    c.add_argument("--vacuum-grace-s", type=float, default=86400.0)
     c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)

@@ -94,3 +94,50 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> int:
                     removed += 1
         os.remove(os.path.join(meta, f"snap-{v:012d}.json"))
     return removed
+
+
+def vacuum_orphans(table: LakeTable, grace_s: float = 86400.0) -> int:
+    """Delete data files referenced by NO retained snapshot — the
+    leftovers of failed/interrupted commits (their dirs are inert for
+    correctness but accumulate forever) and of expired history.
+    Iceberg's remove_orphan_files analogue.
+
+    ``grace_s``: only files older than this are touched — an IN-FLIGHT
+    commit has already written its files but not yet published its
+    snapshot, and deleting them would corrupt it. Keep the grace
+    comfortably above the longest plausible commit. Returns files
+    removed; empty commit dirs are pruned too."""
+    import os
+    import time
+
+    live: set[str] = set()
+    meta = table._meta()
+    for f in os.listdir(meta):
+        if not f.startswith("snap-"):
+            continue
+        v = int(f[5:17])
+        for entries in table.snapshot(v).files.values():
+            live.update(os.path.abspath(e["path"]) for e in entries)
+    cutoff = time.time() - grace_s
+    removed = 0
+    data_root = os.path.join(table.root, "data")
+    for commit_dir in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit_dir)
+        if not os.path.isdir(cdir):
+            continue
+        for dirpath, _dirnames, filenames in os.walk(cdir, topdown=False):
+            for fn in filenames:
+                p = os.path.abspath(os.path.join(dirpath, fn))
+                if p in live:
+                    continue
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        removed += 1
+                except FileNotFoundError:
+                    pass
+            try:
+                os.rmdir(dirpath)  # only succeeds when fully emptied
+            except OSError:
+                pass
+    return removed

@@ -220,3 +220,38 @@ def test_incremental_diff_scans_only_changed_buckets(spark, tmp_path, monkeypatc
     # both the new-side and old-side scans were bucket-pruned
     assert len(seen) == 2
     assert all(b is not None and set(b) == changed for b in seen)
+
+
+def test_vacuum_orphans_removes_failed_commit_files(spark, tmp_path):
+    """Files of failed/interrupted commits (written but never
+    referenced by a snapshot) are inert but accumulate — vacuum
+    removes them without touching any retained snapshot's files."""
+    import os
+    import time
+
+    from nebula_spark.lake.maintenance import vacuum_orphans
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
+    merge_into(spark, table, gen_binlog(spark, 500, 50, seed=61), epoch=0)
+
+    # simulate a crashed commit: files written, snapshot never published
+    orphan_dir = table.new_commit_dir()
+    os.makedirs(os.path.join(orphan_dir, "_bucket=0"), exist_ok=True)
+    orphan = os.path.join(orphan_dir, "_bucket=0", "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    old = time.time() - 10_000
+    os.utime(orphan, (old, old))
+
+    before = sorted(tuple(r) for r in table.read(spark).collect())
+    n_live = sum(len(fs) for fs in table.snapshot().files.values())
+
+    # inside grace: nothing happens (protects in-flight commits)
+    assert vacuum_orphans(table, grace_s=86400) == 0
+    assert os.path.exists(orphan)
+
+    removed = vacuum_orphans(table, grace_s=3600)
+    assert removed == 1 and not os.path.exists(orphan)
+    assert not os.path.exists(orphan_dir)  # emptied dir pruned
+    assert sum(len(fs) for fs in table.snapshot().files.values()) == n_live
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before

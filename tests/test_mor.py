@@ -167,3 +167,23 @@ def test_mor_stream_with_auto_compaction(spark, tmp_path):
     assert all(len(fs) <= 3 for fs in table.snapshot().files.values())
     oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
     assert_equivalent(table.read(spark), oracle)
+
+
+def test_mor_incremental_diff(spark, tmp_path):
+    """incremental_diff composes with MoR: both snapshot reads resolve
+    their version's LWW state first, so the _seq comparison sees one
+    row per key exactly like CoW."""
+    from nebula_spark.io.sources import incremental_diff
+
+    table = _mor(tmp_path, "d", buckets=8)
+    merge_into(spark, table, gen_binlog(spark, 2000, 100, seed=21), epoch=0)
+    v1 = table.snapshot().version
+    delta = gen_binlog(spark, 400, 100, seed=22).withColumn(
+        "op_sequence", F.col("op_sequence") + 10_000
+    )
+    merge_into(spark, table, delta, epoch=1)
+    diff = incremental_diff(spark, str(tmp_path / "d"), from_version=v1)
+    changed = {r["doc_id"] for r in diff.select("doc_id").collect()}
+    expect = {r["doc_id"] for r in delta.select("doc_id").distinct().collect()}
+    assert changed == expect
+    assert diff.filter("_deleted").count() > 0
