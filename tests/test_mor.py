@@ -187,3 +187,30 @@ def test_mor_incremental_diff(spark, tmp_path):
     expect = {r["doc_id"] for r in delta.select("doc_id").distinct().collect()}
     assert changed == expect
     assert diff.filter("_deleted").count() > 0
+
+
+def test_mor_bootstrap_then_replay(spark, tmp_path):
+    """Snapshot bootstrap (append at _seq=-1) composes with MoR: the
+    read-time fold lets any replayed event beat the base image."""
+    import os
+
+    from nebula_spark.cdc.binlog import gen_base_table
+    from nebula_spark.lake.merge import append_into
+
+    table = _mor(tmp_path, "b")
+    base = gen_base_table(spark, 120, seed=4)
+    base_dir = str(tmp_path / "base")
+    base.write.parquet(base_dir)
+    append_into(
+        spark, table, base.withColumn("op", F.lit("INSERT")), epoch=-1,
+        summary_op="bootstrap",
+    )
+    log = gen_binlog(spark, 1500, 120, seed=5)
+    log_dir = str(tmp_path / "log")
+    log.write.parquet(log_dir)
+    merge_into(spark, table, log, epoch=0)
+    oracle = replay_final_state(
+        os.path.join(log_dir, "*.parquet"),
+        base_parquet=os.path.join(base_dir, "*.parquet"),
+    )
+    assert_equivalent(table.read(spark), oracle)
