@@ -152,3 +152,47 @@ def test_ivf_topk_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashjoin" in plan.lower() or "SortMergeJoin" in plan
+
+
+def test_mor_read_fold_is_partial_aggregated_and_pruned(spark, tmp_path):
+    """The MoR read-time LWW fold must (a) combine map-side — the same
+    skew defense as the dedup agg — and (b) not defeat bucket pruning:
+    a pruned read's scan lists only the requested bucket's files."""
+    from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+    from nebula_spark.cdc import gen_binlog
+    from nebula_spark.lake import LakeTable, merge_into
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4,
+        properties={"merge_mode": "mor"},
+    )
+    merge_into(spark, table, gen_binlog(spark, 2000, 150, seed=41), epoch=0)
+    merge_into(
+        spark,
+        table,
+        gen_binlog(spark, 500, 150, seed=42).withColumn(
+            "op_sequence", F.col("op_sequence") + 10_000
+        ),
+        epoch=1,
+    )
+    plan = _plan(table.read(spark))
+    # max(struct-with-array) isn't hash-aggregable → SortAggregate, but
+    # the PARTIAL phase must still combine before the exchange
+    n_aggs = sum(plan.count(a) for a in ("SortAggregate", "HashAggregate", "ObjectHashAggregate"))
+    assert n_aggs >= 2 and "partial_max" in plan
+
+    pruned = table.read(spark, buckets=[2])
+    scanned = _plan(pruned)
+    want = {e["path"] for e in table.snapshot().files[2]}
+    other = {
+        e["path"]
+        for b, fs in table.snapshot().files.items()
+        if b != 2
+        for e in fs
+    }
+    # every bucket-2 file could legitimately be elided from the plan
+    # string (truncation) — but NO other bucket's file may appear
+    import os as _os
+
+    assert not any(_os.path.basename(p) in scanned for p in other)
+    assert pruned.count() > 0
