@@ -58,12 +58,22 @@ def apply_changes(
     resolve_strategy: str | None = None,
     conflict: str | None = None,
     dlq_table: LakeTable | None = None,
+    dlq_ns: str = "",
     count_inputs: bool = False,
 ) -> ApplyResult:
     """Apply one change batch to the lake table, exactly-once.
 
     ``count_inputs`` adds two cheap aggregate passes for the filtered/
-    input counters (off by default — metrics come from the merge)."""
+    input counters (off by default — metrics come from the merge).
+
+    ``dlq_ns``: namespace prefix for this call's DLQ manifest epochs and
+    event keys. REQUIRED when several targets share one DLQ table under
+    the same epoch sequence (multi-table fan-out): append_into records
+    the applied epoch even for a zero-row batch, so without a namespace
+    the FIRST route processed claims epoch ``e`` on the shared DLQ
+    manifest and every later route's quarantined rows for that
+    micro-batch silently skip as already-applied — data loss in the
+    safety path. run_multi_stream passes ``f"{route}:"``."""
     if epoch is not None and str(epoch) in table.applied_epochs():
         return ApplyResult(merge=MergeResult(skipped=True, epoch=epoch))
 
@@ -96,10 +106,21 @@ def apply_changes(
     if dlq_table is not None:
         from nebula_spark.lake.merge import append_into
 
+        # key carries the ':malformed' reason stamp so reprocess_dlq can
+        # select this class by INCLUSION like the other two (the keys
+        # used to be bare epoch:op_sequence, reachable only by exclusion)
         dlq_rows = df.filter(bad).withColumn(
-            "event_key", F.concat_ws(":", F.lit(str(epoch)), F.col("op_sequence"))
+            "event_key",
+            F.concat_ws(
+                ":",
+                F.lit(f"{dlq_ns}{epoch}"),
+                F.col("op_sequence"),
+                F.lit("malformed"),
+            ),
         )
-        append_into(spark, dlq_table, dlq_rows, epoch=epoch, summary_op="dlq")
+        append_into(
+            spark, dlq_table, dlq_rows, epoch=f"{dlq_ns}{epoch}", summary_op="dlq"
+        )
     df = df.filter(~bad)
 
     # schema evolution: batch payload vs table user schema (merge-on-write)
@@ -144,10 +165,12 @@ def apply_changes(
         rej = rej_df.withColumn(
             "event_key",
             F.concat_ws(
-                ":", F.lit(str(epoch)), F.col("op_sequence"), F.lit("conflict")
+                ":", F.lit(f"{dlq_ns}{epoch}"), F.col("op_sequence"), F.lit("conflict")
             ),
         )
-        append_into(spark, dlq_table, rej, epoch=f"c{epoch}", summary_op="dlq-conflict")
+        append_into(
+            spark, dlq_table, rej, epoch=f"{dlq_ns}c{epoch}", summary_op="dlq-conflict"
+        )
 
     res.merge = merge_into(
         spark,

@@ -31,8 +31,7 @@ from nebula_spark.lake.table import LakeTable
 # quarantine reason classes (substrings of event_key)
 REASON_FAILED = "failed-"      # poison batch, retries exhausted
 REASON_CONFLICT = "conflict"   # conflict='reject' surfaced events
-REASON_MALFORMED = "malformed"  # (not stamped today: malformed rows
-# carry only epoch:op_sequence keys; match them by exclusion if needed)
+REASON_MALFORMED = "malformed"  # null key / unknown op / null payload
 
 
 def reprocess_dlq(
@@ -48,7 +47,17 @@ def reprocess_dlq(
     epochs used. ``apply_kwargs`` pass through to apply_changes (e.g. a
     corrected event_filter/transforms — the reason the batch poisoned
     in the first place is usually fixed by one of these)."""
-    if apply_kwargs.get("conflict") == "reject":
+    # resolve the EFFECTIVE conflict the same way apply_changes does —
+    # with no explicit kwarg it falls back to NEBULA_CONFLICT, and an
+    # env value of 'reject' would hit the same loss scenario the guard
+    # below describes (replayed events re-rejected while their originals
+    # are tombstoned from the DLQ)
+    import os
+
+    effective_conflict = apply_kwargs.get("conflict") or os.environ.get(
+        "NEBULA_CONFLICT", "last_write_wins"
+    )
+    if effective_conflict == "reject":
         raise ValueError(
             "reprocessing with conflict='reject' would re-reject the very "
             "events being replayed and tombstone them from the DLQ — they'd "
@@ -67,9 +76,10 @@ def reprocess_dlq(
     batch = rows.drop("event_key")
     # dlq_table passes back in: a quarantined poison batch can contain
     # genuinely malformed rows — they re-quarantine under the rp<v>
-    # epoch's event_key (no reason substring, so they won't match a
-    # `failed-` replay again) instead of being silently dropped while
-    # their originals get tombstoned below
+    # epoch's ':malformed'-stamped event_key instead of being silently
+    # dropped while their originals get tombstoned below. (A later
+    # REASON_MALFORMED replay picks them up again — intended: they stay
+    # quarantined-and-replayable until a corrective transform fixes them.)
     res: ApplyResult = apply_changes(
         spark, target, batch, epoch=f"rp{v}", dlq_table=dlq_table, **apply_kwargs
     )

@@ -283,6 +283,12 @@ def run_multi_stream(
                         renames=route.renames,
                         conflict=route.conflict,
                         dlq_table=dlq_table,
+                        # namespace the shared DLQ's epochs per route —
+                        # otherwise the first route claims epoch batch_id
+                        # on the DLQ manifest and every later route's
+                        # quarantined rows for this micro-batch skip as
+                        # already-applied (silent loss in the safety path)
+                        dlq_ns=f"{name}:",
                     )
                     m = metrics["tables"][name]
                     m["batches"] += 1

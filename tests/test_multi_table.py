@@ -146,3 +146,67 @@ def test_multi_stream_per_table_column_filter(spark, tmp_path):
         "n_tok",
     }
     assert routes["orders"].table.read(spark).count() > 0
+
+
+def test_multi_stream_shared_dlq_no_epoch_collision(spark, tmp_path):
+    """Several routes quarantining malformed rows into ONE shared DLQ in
+    the SAME micro-batch: each route's DLQ append must land. The epochs
+    are namespaced per route — without that, the first route processed
+    claims epoch batch_id on the shared DLQ manifest and every later
+    route's malformed rows are silently dropped (already-applied skip)."""
+    binlog_dir = str(tmp_path / "binlog")
+    log = _multi_binlog(spark, 3000, seed=37)
+    poison = (F.pmod(F.col("op_sequence"), F.lit(13)) == 0) & (
+        F.col("op") != "DELETE"
+    )
+    log = log.withColumn(
+        "tokens", F.when(poison, F.lit(None)).otherwise(F.col("tokens"))
+    )
+    write_binlog_chunks(log, binlog_dir, n_chunks=2, files_per_chunk=1)
+
+    routes = {
+        name: TableRoute(
+            table=LakeTable.create(
+                str(tmp_path / name), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+            )
+        )
+        for name in ("users", "orders")
+    }
+    dlq_schema = T.StructType(
+        list(BINLOG_SCHEMA.fields)
+        + [T.StructField("event_key", T.StringType(), False)]
+    )
+    dlq = LakeTable.create(str(tmp_path / "dlq"), dlq_schema, "event_key", n_buckets=2)
+    run_multi_stream(
+        spark,
+        routes,
+        binlog_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=log.schema,
+        dlq_table=dlq,
+        max_files_per_trigger=1,
+    )
+
+    expected = {
+        r["source_table"]: r["count"]
+        for r in log.filter(poison).groupBy("source_table").count().collect()
+    }
+    assert len(expected) == 2 and all(v > 0 for v in expected.values())
+    quarantined = dlq.read(spark).filter(F.col("event_key").contains("malformed"))
+    assert quarantined.count() == sum(expected.values())
+    # per-route keys present (the namespaced prefix proves no collision)
+    for name, want in expected.items():
+        got = quarantined.filter(F.col("event_key").startswith(f"{name}:")).count()
+        assert got == want, f"route {name}: {got} != {want}"
+
+    # routed tables still match the oracle over the well-formed events
+    glob = os.path.join(binlog_dir, "*", "*.parquet")
+    for name in ("users", "orders"):
+        oracle = replay_final_state(
+            glob,
+            where=(
+                f"source_table = '{name}' AND NOT "
+                "(op_sequence % 13 = 0 AND op <> 'DELETE')"
+            ),
+        )
+        assert_equivalent(routes[name].table.read(spark), oracle)

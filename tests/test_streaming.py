@@ -298,3 +298,72 @@ def test_dlq_reprocess_rejects_reject_mode(spark, tmp_path):
     dlq = LakeTable.create(str(tmp_path / "dlq"), dlq_schema, "event_key", n_buckets=2)
     with pytest.raises(ValueError, match="reject"):
         reprocess_dlq(spark, dlq, table, conflict="reject")
+
+
+def test_dlq_reprocess_malformed_by_inclusion(spark, tmp_path):
+    """Malformed rows are reason-stamped ':malformed', so
+    reprocess_dlq(reasons=(REASON_MALFORMED,)) reaches them directly: a
+    corrective transform fixes the cause (here an unknown op name) and
+    the rows land in the target, originals tombstoned from the DLQ."""
+    from pyspark.sql import types as T
+
+    from nebula_spark.cdc.apply import apply_changes
+    from nebula_spark.cdc.dlq import REASON_MALFORMED, reprocess_dlq
+
+    good = gen_binlog(spark, 1000, 100, seed=61)
+    bad = (
+        gen_binlog(spark, 60, 100, seed=62)
+        .filter(F.col("op") != "DELETE")  # keep full after-images: the op
+        # fix below must make these rows fully well-formed
+        .withColumn("op_sequence", F.col("op_sequence") + 10_000)
+        .withColumn("op", F.lit("UPSERT"))  # unknown op -> malformed
+        .withColumn("doc_id", F.concat(F.lit("x-"), F.col("doc_id")))
+    )
+    n_bad = bad.count()
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    dlq_schema = T.StructType(
+        list(BINLOG_SCHEMA.fields) + [T.StructField("event_key", T.StringType(), False)]
+    )
+    dlq = LakeTable.create(str(tmp_path / "dlq"), dlq_schema, "event_key", n_buckets=2)
+    apply_changes(spark, table, good.unionByName(bad), epoch=0, dlq_table=dlq)
+    assert (
+        dlq.read(spark).filter(F.col("event_key").contains("malformed")).count()
+        == n_bad
+    )
+    n_before = table.read(spark).count()
+
+    fix_op = lambda df: df.withColumn(  # noqa: E731
+        "op", F.when(F.col("op") == "UPSERT", F.lit("UPDATE")).otherwise(F.col("op"))
+    )
+    out = reprocess_dlq(
+        spark, dlq, table, reasons=(REASON_MALFORMED,), transforms=[fix_op]
+    )
+    assert out["reprocessed"] == n_bad and not out["target_skipped"]
+    # the fixed rows carry fresh x- keys; LWW dedup keeps one per doc_id
+    n_distinct = bad.select("doc_id").distinct().count()
+    assert table.read(spark).filter(F.col("doc_id").startswith("x-")).count() == n_distinct
+    assert table.read(spark).count() == n_before + n_distinct
+    assert dlq.read(spark).count() == 0
+
+    # idempotent: a second call finds nothing
+    assert reprocess_dlq(spark, dlq, table, reasons=(REASON_MALFORMED,))[
+        "reprocessed"
+    ] == 0
+
+
+def test_dlq_reprocess_rejects_reject_mode_via_env(spark, tmp_path, monkeypatch):
+    """The reject guard must also catch the NEBULA_CONFLICT env fallback
+    apply_changes would use when no explicit kwarg is given."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from nebula_spark.cdc.dlq import reprocess_dlq
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
+    dlq_schema = T.StructType(
+        list(BINLOG_SCHEMA.fields) + [T.StructField("event_key", T.StringType(), False)]
+    )
+    dlq = LakeTable.create(str(tmp_path / "dlq"), dlq_schema, "event_key", n_buckets=2)
+    monkeypatch.setenv("NEBULA_CONFLICT", "reject")
+    with pytest.raises(ValueError, match="reject"):
+        reprocess_dlq(spark, dlq, table)
