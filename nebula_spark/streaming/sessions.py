@@ -81,7 +81,15 @@ def stream_sessionize_custom(
     sorted by ``ts`` before folding, so results depend on the batch
     boundaries only through which sessions have CLOSED yet — the
     closed-session set for fully-delivered data is independent of the
-    batch split (same rule as the batch oracle)."""
+    batch split (same rule as the batch oracle).
+
+    applyInPandasWithState delivers a large group as MULTIPLE Arrow
+    chunks (default ~10k rows) in arbitrary post-shuffle order, so the
+    sort must happen over the whole group's batch data, not per chunk —
+    the chunks are concatenated first (one timestamp int64 array per
+    chunk, so memory is 8 bytes/event, not the full rows). A group too
+    big for that would already be too big for its own state fold."""
+    import numpy as np
     import pandas as pd  # noqa: F401 (documents the pandas dependency)
 
     cap = max_events if max_events is not None else 1 << 62
@@ -92,24 +100,30 @@ def stream_sessionize_custom(
             start_us, last_us, n = state.get
         else:
             start_us, last_us, n = None, None, 0
+        # accumulate every chunk's timestamps, sort ONCE globally: events
+        # out of order ACROSS chunk boundaries must not close sessions
+        # against a non-monotone stream
+        chunks = [
+            pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            for pdf in pdf_iter
+        ]
+        ts_us = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, "int64")
         out = []
-        for pdf in pdf_iter:
-            ts_us = (
-                pdf[ts_col].astype("datetime64[us]").astype("int64").sort_values()
-            )
-            for t in ts_us:
-                t = int(t)
-                if start_us is None:
-                    start_us, last_us, n = t, t, 1
-                    continue
-                if t - last_us > gap_s * 1_000_000:
-                    out.append((user, start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
-                if n >= cap:
-                    out.append((user, start_us, last_us, n))
-                    start_us, last_us, n = None, None, 0
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_s * 1_000_000:
+                out.append((user, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+            # every accepted event passes the cap test — including the
+            # first event of a fresh session, so max_events=1 closes
+            # each session immediately instead of leaking a 2-event one
+            if n >= cap:
+                out.append((user, start_us, last_us, n))
+                start_us, last_us, n = None, None, 0
         if start_us is None:
             state.remove()
         else:

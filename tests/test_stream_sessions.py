@@ -57,10 +57,13 @@ def _python_sessions(rows, gap_s, cap=None):
     return sorted(out)
 
 
-def _write_chunks(spark, tmp_path, rows, n_chunks=4, sentinel=False):
+def _write_chunks(spark, tmp_path, rows, n_chunks=4, sentinel=False, shuffle_within=None):
     """Ordered parquet chunk files (name order = ts order); optional
     far-future sentinel rows in a final extra chunk to flush
-    watermarks/state."""
+    watermarks/state. ``shuffle_within``: seed to shuffle rows INSIDE
+    each chunk (delivery order within a micro-batch is arbitrary; order
+    across chunks stays intact — the determinism contract only covers
+    intra-batch order)."""
     d = str(tmp_path / "events")
     os.makedirs(d)
     per = (len(rows) + n_chunks - 1) // n_chunks
@@ -79,6 +82,11 @@ def _write_chunks(spark, tmp_path, rows, n_chunks=4, sentinel=False):
 
     for i in range(n_chunks):
         chunk = rows[i * per : (i + 1) * per]
+        if shuffle_within is not None:
+            import random
+
+            chunk = list(chunk)
+            random.Random(shuffle_within + i).shuffle(chunk)
         if chunk:
             spark.createDataFrame(_mk(chunk), schema).coalesce(1).write.parquet(
                 os.path.join(d, f"c{i:03d}")
@@ -152,3 +160,60 @@ def test_custom_stateful_sessionizer_with_cap(spark, tmp_path):
     # the cap actually fired: some sessions have exactly CAP events and
     # the 6-event trains split
     assert any(n == CAP for _, _, _, n in want)
+
+
+def test_custom_sessionizer_cross_chunk_ordering(spark, tmp_path):
+    """Events shuffled WITHIN each micro-batch + Arrow chunk size forced
+    to 2 rows: applyInPandasWithState splits every group's batch data
+    into many tiny chunks in arbitrary order, so only a global per-group
+    sort (not a per-chunk sort) reproduces the batch oracle."""
+    rows = _events()
+    d, schema = _write_chunks(
+        spark, tmp_path, rows, sentinel=True, shuffle_within=97
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 2)
+    try:
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        CAP = 5
+        sess = stream_sessionize_custom(ev, gap_s=GAP_S, max_events=CAP)
+        got = [
+            r
+            for r in _drain(sess, tmp_path, "xchunk")
+            if r["session_start"].year < 2100
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    want = _python_sessions(rows, GAP_S, cap=CAP)
+    assert _as_tuples(got) == sorted(want)
+
+
+def test_custom_sessionizer_cap_one(spark, tmp_path):
+    """max_events=1: EVERY event closes its own session immediately —
+    the fresh-session branch must not skip the cap check."""
+    rows = [(u, t) for u, t in _events() if u < 2]
+    d, schema = _write_chunks(spark, tmp_path, rows, n_chunks=2, sentinel=True)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    sess = stream_sessionize_custom(ev, gap_s=GAP_S, max_events=1)
+    # cap=1 closes even the far-future sentinel rows — exclude them by
+    # timestamp, not just year
+    far = BASE_US + 10**9 * 1_000_000
+    got = [
+        r
+        for r in _drain(sess, tmp_path, "capone")
+        if _as_tuples([r])[0][1] < far
+    ]
+    want = _python_sessions(rows, GAP_S, cap=1)
+    assert _as_tuples(got) == sorted(want)
+    assert all(n == 1 for _, _, _, n in _as_tuples(got))
+    assert len(got) == len(rows)
