@@ -16,9 +16,35 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from nebula_spark.functions.text import words
+
+# Collision groups wider than this are skipped by the pair enumerators.
+# A band key with m colliding docs costs m(m-1)/2 pairs NO MATTER the
+# plan shape — at m=10^6 that's 5·10^11 pairs, intractable output, and
+# the in-group enumeration would additionally materialize the whole
+# group in one task (OOM where the old join shape merely ran forever).
+# Such keys are degenerate (empty-shingle docs, boilerplate): the right
+# response is to widen band_size or pre-filter, not to enumerate them.
+DEFAULT_MAX_GROUP = 10_000
+
+
+def _bounded_groups(banded: DataFrame, group_cols: list[str], max_group: int | None) -> DataFrame:
+    """Filter collision groups to 1 < size ≤ max_group BEFORE any
+    collect_list. The count is a window over the same keys the
+    downstream groupBy shuffles on, so it rides the SAME single
+    exchange; WindowExec spills oversized partitions to disk where a
+    collect_list on them would hold the whole group in one task's
+    memory. Audit what was skipped with:
+        banded.groupBy(*keys).count().filter(f"count > {max_group}")
+    """
+    w = Window.partitionBy(*group_cols)
+    sized = banded.withColumn("_gsz", F.count(F.lit(1)).over(w))
+    cond = F.col("_gsz") > 1
+    if max_group is not None:
+        cond = cond & (F.col("_gsz") <= max_group)
+    return sized.filter(cond).drop("_gsz")
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -80,6 +106,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_group: int | None = DEFAULT_MAX_GROUP,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -90,9 +117,13 @@ def minhash_lsh_candidates(
     index-sliced transform). One shuffle total, signatures computed
     exactly once, nothing persisted (the old shape was a persisted
     self-join: two exchanges plus a cache that leaked until LRU
-    pressure). Group width = docs per band key, the same quantity that
-    bounded the join's output — hot keys cost the same pairs either
-    way; tune band_size for selectivity, not this plan."""
+    pressure).
+
+    ``max_group`` bounds the collision-group width: a hot band key with
+    m members costs m(m-1)/2 pairs regardless of plan shape AND would
+    materialize the whole group in one task's memory here — groups
+    above the cap are skipped via a same-shuffle window count (see
+    _bounded_groups; None disables)."""
     sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes)
     n_bands = n_hashes // band_size
     banded = spread(df).select(F.col(id_col), sig.alias("_sig")).select(
@@ -110,9 +141,9 @@ def minhash_lsh_candidates(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     grouped = (
-        banded.groupBy("band", "key")
+        _bounded_groups(banded, ["band", "key"], max_group)
+        .groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
-        .filter(F.size("_ids") > 1)
     )
     pairs = F.explode(
         F.flatten(
@@ -262,7 +293,10 @@ def simhash64(
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash"
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_group: int | None = DEFAULT_MAX_GROUP,
 ) -> DataFrame:
     """Hamming-near candidates: band the 64-bit simhash into 4×16-bit
     keys; any equal band → candidate pair. Guarantees recall for
@@ -271,7 +305,8 @@ def simhash_near_pairs(
     Same single-shuffle shape as minhash_lsh_candidates: groupBy the
     band key and enumerate i<j pairs inside each collision group —
     the old self-join recomputed the full 64-sum simhash aggregation
-    for BOTH sides (or needed a leaked persist to avoid it)."""
+    for BOTH sides (or needed a leaked persist to avoid it).
+    ``max_group`` skips degenerate collision groups exactly as there."""
     bands = sim.select(
         F.col(id_col),
         F.col(hash_col),
@@ -290,14 +325,14 @@ def simhash_near_pairs(
         ).alias("bk"),
     ).select(id_col, hash_col, "bk.band", "bk.key")
     grouped = (
-        bands.groupBy("band", "key")
+        _bounded_groups(bands, ["band", "key"], max_group)
+        .groupBy("band", "key")
         .agg(
             # sorted by id (first struct field) → doc_a < doc_b for free
             F.array_sort(
                 F.collect_list(F.struct(F.col(id_col), F.col(hash_col)))
             ).alias("_g")
         )
-        .filter(F.size("_g") > 1)
     )
     pairs = F.explode(
         F.flatten(

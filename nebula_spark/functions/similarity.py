@@ -101,29 +101,58 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    max_group: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: vectors sharing a
     random-hyperplane bucket are scored exactly, pairs ≥ threshold
-    survive. Same equi-join shape as MinHash-LSH (candidates meet on a
-    bucket key — never an all-pairs join), so it holds at 10^9 vectors;
-    recall is tunable via fewer planes / multiple tables."""
-    b = corpus.select(
+    survive; recall is tunable via fewer planes / multiple tables.
+
+    Single-shuffle group shape (same as minhash_lsh_candidates /
+    simhash_near_pairs, dedupe.py): ONE window-counted groupBy on the
+    bucket key with in-group i<j enumeration. The old self-join
+    recomputed hyperplane_bucket — n_planes × dim-element dot products
+    per vector — on BOTH sides and scanned the corpus twice; here the
+    bucket is computed exactly once per vector and the corpus scans
+    once. Each vector lands in exactly one bucket, so no cross-group
+    duplicate pairs exist (no distinct needed). ``max_group`` skips
+    degenerate buckets (a bucket of m vectors costs m(m-1)/2 scored
+    pairs regardless of plan; the cap is lower than the text dedups'
+    because each member carries a dim-float payload)."""
+    from nebula_spark.functions.dedupe import _bounded_groups, spread
+
+    b = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
     )
-    a, c = b.alias("a"), b.alias("c")
+    grouped = (
+        _bounded_groups(b, ["_bkt"], max_group)
+        .groupBy("_bkt")
+        .agg(
+            # sorted by id (first struct field) → vec_a < vec_b for free
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col("_v")))
+            ).alias("_g")
+        )
+    )
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_g"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_g"), i + F.lit(2), F.size("_g")),
+                    lambda y: F.struct(
+                        x[id_col].alias("vec_a"),
+                        y[id_col].alias("vec_b"),
+                        F.round(cosine(x["_v"], y["_v"]), 6).alias("cos"),
+                    ),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            c,
-            (F.col("a._bkt") == F.col("c._bkt"))
-            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"c.{id_col}").alias("vec_b"),
-            F.round(cosine(F.col("a._v"), F.col("c._v")), 6).alias("cos"),
-        )
+        grouped.select(pairs.alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cos")
         .filter(F.col("cos") >= threshold)
     )
 

@@ -196,3 +196,44 @@ def test_mor_read_fold_is_partial_aggregated_and_pruned(spark, tmp_path):
 
     assert not any(_os.path.basename(p) in scanned for p in other)
     assert pruned.count() > 0
+
+
+def test_embedding_near_dups_single_shuffle_no_join(spark):
+    """The rewrite must keep the single-shuffle group shape: no join
+    operator anywhere (the old self-join scanned the corpus twice and
+    recomputed the hyperplane bucket on both sides), and exactly TWO
+    exchanges total — spread()'s round-robin plus the one hash exchange
+    the window count and groupBy share."""
+    from nebula_spark.functions.similarity import embedding_near_dups
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda i: (i * F.col("id") % 97).cast("float")).alias("embedding"),
+    )
+    plan = _plan(embedding_near_dups(emb, threshold=0.3))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_pair_enumeration_group_cap(spark):
+    """Oversized collision groups are skipped, small ones enumerated:
+    with 30 identical docs and max_group=10 the hot band key yields no
+    pairs, while distinct near-pairs from in-cap groups still appear."""
+    from nebula_spark.functions.dedupe import minhash_lsh_candidates
+
+    hot = spark.range(30).select(
+        F.format_string("hot-%02d", F.col("id")).alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    cold = spark.range(2).select(
+        F.format_string("cold-%d", F.col("id")).alias("doc_id"),
+        F.lit("a unique cold document body of words").alias("text"),
+    )
+    docs = hot.unionByName(cold)
+    capped = minhash_lsh_candidates(docs, n_hashes=4, band_size=2, max_group=10)
+    rows = capped.collect()
+    assert all(not r["doc_a"].startswith("hot") for r in rows)
+    assert any(r["doc_a"].startswith("cold") for r in rows)
+    # uncapped finds the hot pairs too
+    full = minhash_lsh_candidates(docs, n_hashes=4, band_size=2, max_group=None)
+    assert full.filter(F.col("doc_a").startswith("hot")).count() == 30 * 29 // 2
