@@ -171,6 +171,39 @@ def _conflict_query(mode: str):
     return q
 
 
+def _replay_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay across a MID-STREAM bucket rescale (partition-spec
+    evolution): half the changelog merges into a 4-bucket table, the
+    table re-buckets to 16 atomically (lake.maintenance.rescale), the
+    rest replays under the new layout. Final state must equal a plain
+    LWW replay — the rescale is invisible to semantics."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake.maintenance import rescale
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).select(
+        "op_sequence", "op", "user_id", "value_cents", "ts_us"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_rescale_")
+    table = LakeTable.create(os.path.join(tmp, "t"), schema, "user_id", n_buckets=4)
+    # order-independent split (LWW converges in any delivery order)
+    merge_into(spark, table, cl.filter(F.col("op_sequence") % 2 == 0), epoch=0)
+    rescale(spark, table, 16)
+    merge_into(spark, table, cl.filter(F.col("op_sequence") % 2 == 1), epoch=1)
+    return table.read(spark).select("user_id", "value_cents", "ts_us")
+
+
 def _multi_table_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table fan-out semantics, driver-checkable: one change feed
     carrying two source tables (deterministic route on user_id parity —
@@ -510,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_merge": _conflict_query("merge"),
         "cdc_conflict_reject": _conflict_query("reject"),
         "cdc_conflict_fww": _conflict_query("first_write_wins"),
+        "cdc_replay_rescale": _replay_rescale,
         "cdc_multi_table_route": _multi_table_route,
         "cdc_event_filter": _event_filter,
         "transform_chain": _transform_chain,
@@ -633,6 +667,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT bf.user_id, bf.bval AS value_cents, bf.bts AS ts_us
             FROM bf LEFT JOIN t ON bf.user_id = t.user_id
             WHERE t.user_id IS NULL AND bf.op <> 'DELETE'
+        """,
+        "cdc_replay_rescale": f"""
+            -- a mid-stream bucket rescale is semantically invisible:
+            -- final state == plain LWW replay
+            SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
         """,
         "cdc_multi_table_route": f"""
             -- the route key is a pure function of user_id, so per-table

@@ -184,10 +184,19 @@ def incremental_diff(spark: SparkSession, path: str, from_version: int, to_versi
     to_v = t.snapshot().version if to_version is None else to_version
     buckets: list[int] | None
     try:
-        changed: set[int] = set()
-        for v in range(from_version + 1, to_v + 1):
-            changed |= t._buckets_changed_by(v)
-        buckets = sorted(changed)
+        if (
+            t.snapshot(from_version).raw["n_buckets"]
+            != t.snapshot(to_v).raw["n_buckets"]
+        ):
+            # a rescale happened in between: bucket ids from the two
+            # layouts are incomparable, so pruning BOTH snapshots by one
+            # bucket set would read the wrong old rows — full comparison
+            buckets = None
+        else:
+            changed: set[int] = set()
+            for v in range(from_version + 1, to_v + 1):
+                changed |= t._buckets_changed_by(v)
+            buckets = sorted(changed)
     except FileNotFoundError:
         # an intermediate snapshot was expired — metadata diff is
         # impossible; fall back to the full-table comparison

@@ -56,9 +56,70 @@ def compact(
         new_files_by_bucket=new_files,
         replaced_buckets=chosen,
         summary={"operation": "compact", "buckets": len(chosen)},
+        expect_n_buckets=snap.raw["n_buckets"],
     )
     return {
         "buckets": len(chosen),
+        "version": new_snap.version,
+        "seconds": round(time.time() - t0, 2),
+    }
+
+
+def rescale(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> dict:
+    """Re-bucket a live table to ``new_n_buckets`` — partition-spec
+    evolution (Iceberg's ALTER TABLE ... WRITE ORDERED BY / bucket-spec
+    change; the reference's only analogue is recreating the sink).
+
+    Why it exists: ``n_buckets`` is frozen at create, but the right
+    bucket count scales with the table — a stream that outgrows its
+    16-bucket test layout needs 4096+ buckets at 10^10 events or every
+    merge/fold unit becomes a multi-GB rewrite. This makes the move a
+    single atomic commit instead of a by-hand table copy.
+
+    Plan: one full read (for a merge-on-read table the read-time fold
+    runs here, so a rescale doubles as a full compaction), re-bucketed
+    under the new layout, written fresh, committed with
+    ``new_n_buckets`` + every old bucket replaced. Readers on older
+    snapshots keep the old layout (a snapshot pins its n_buckets);
+    readers of HEAD see the new one. Concurrency is strict: a rescale
+    never rebases (it is a full rewrite — whoever commits first wins,
+    ConcurrentBucketConflict tells the loser to recompute), and every
+    data writer passes expect_n_buckets so a merge computed under the
+    old layout that commits after the rescale conflicts cleanly instead
+    of writing files with meaningless bucket ids."""
+    from nebula_spark.lake.table import bucket_expr
+
+    t0 = time.time()
+    snap = table.snapshot()
+    old_nb = snap.raw["n_buckets"]
+    if int(new_n_buckets) == old_nb:
+        return {"rescaled": False, "n_buckets": old_nb, "version": snap.version}
+    df = table.read(spark, version=snap.version, include_internal=True)
+    df = df.withColumn("_bucket", bucket_expr(table.key_col, int(new_n_buckets)))
+    commit_dir = table.new_commit_dir()
+    df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
+        commit_dir
+    )
+    new_files = LakeTable.list_written_files(commit_dir)
+    new_snap = table.commit(
+        new_files_by_bucket=new_files,
+        replaced_buckets=sorted(snap.files.keys()),
+        new_n_buckets=int(new_n_buckets),
+        expect_n_buckets=old_nb,
+        # the rewrite was computed from snap — ANY commit landing in
+        # between (even a pure append) would be silently erased by this
+        # full replace, so the commit is pinned to the planned version
+        base_version=snap.version,
+        summary={
+            "operation": "rescale",
+            "from_n_buckets": old_nb,
+            "to_n_buckets": int(new_n_buckets),
+        },
+    )
+    return {
+        "rescaled": True,
+        "from_n_buckets": old_nb,
+        "n_buckets": int(new_n_buckets),
         "version": new_snap.version,
         "seconds": round(time.time() - t0, 2),
     }

@@ -229,6 +229,7 @@ def append_into(
     version, or -1 if the epoch was already applied / batch empty."""
     if epoch is not None and str(epoch) in table.applied_epochs():
         return -1
+    nb = table.n_buckets  # layout this append is computed under
     if SEQ_COL not in df.columns:
         df = df.withColumn(SEQ_COL, F.lit(-1).cast("long"))
     if DELETED_COL not in df.columns:
@@ -247,6 +248,7 @@ def append_into(
         new_files_by_bucket=new_files,
         applied_update=applied,
         summary={"operation": summary_op, "epoch": epoch},
+        expect_n_buckets=nb,
     )
     return snap.version
 
@@ -307,6 +309,8 @@ def merge_into(
     t0 = time.time()
     res = MergeResult(epoch=epoch)
     key = table.key_col
+    nb = table.n_buckets  # layout this merge is computed under; the
+    # commit re-checks it so a concurrent rescale conflicts cleanly
 
     if epoch is not None and str(epoch) in table.applied_epochs():
         res.skipped = True
@@ -318,7 +322,7 @@ def merge_into(
         # job 1 (cheap, column-pruned: key/op/seq/partition only — no
         # dedup, no arrays): touched buckets, event counters, and
         # per-source-partition high-water marks for lineage.
-        grain = [bucket_expr(table.key_col, table.n_buckets).alias("_bucket")] + (
+        grain = [bucket_expr(key, nb).alias("_bucket")] + (
             [F.col(partition_col)] if partition_col and partition_col in batch.columns else []
         )
         stats = batch.groupBy(*grain).agg(
@@ -356,6 +360,7 @@ def merge_into(
             snap = table.commit(
                 applied_update=applied_update,
                 summary={"operation": "merge-empty", "epoch": epoch},
+                expect_n_buckets=nb,
             )
             res.version = snap.version
             return res
@@ -423,6 +428,7 @@ def merge_into(
                     "keys": res.keys_touched,
                     "buckets": res.buckets_touched,
                 },
+                expect_n_buckets=nb,
             )
             res.version = snap.version
             return res
@@ -491,6 +497,7 @@ def merge_into(
                 "keys": res.keys_touched,
                 "buckets": res.buckets_touched,
             },
+            expect_n_buckets=nb,
         )
         res.version = snap.version
         return res

@@ -275,6 +275,9 @@ class LakeTable:
         renames: dict[str, str] | None = None,
         applied_update: dict | None = None,
         summary: dict | None = None,
+        new_n_buckets: int | None = None,
+        expect_n_buckets: int | None = None,
+        base_version: int | None = None,
         _retries: int = 3,
     ) -> Snapshot:
         """Produce snapshot v+1: keep files of untouched buckets, swap in
@@ -288,12 +291,57 @@ class LakeTable:
         DISJOINT set of buckets (this writer resolved its batch against
         stale bucket contents otherwise); an overlap raises
         ``ConcurrentBucketConflict`` instead of silently dropping the
-        other writer's files."""
+        other writer's files.
+
+        ``expect_n_buckets``: the bucket count this commit's files were
+        laid out under. If the table's CURRENT n_buckets differs (a
+        concurrent rescale landed first), the commit's bucket ids are
+        meaningless under the new layout — raise ConcurrentBucketConflict
+        so the writer recomputes against the new snapshot. Every data
+        writer (merge/append/compact) passes this.
+
+        ``new_n_buckets``: switch the table to a new bucket layout —
+        partition-spec evolution. Such a commit must replace EVERY
+        existing bucket (it is a full rewrite) and never rebases: any
+        concurrent commit wins the race and the rescale recomputes.
+
+        ``base_version``: the snapshot version this commit's data was
+        COMPUTED from. The O_EXCL write only catches two writers that
+        read the same HEAD; a competing commit that fully lands between
+        this writer's plan-read and its commit() call would otherwise be
+        silently overwritten by a full-rewrite commit. With
+        base_version set, any intervening commit triggers the same
+        legality check as the O_EXCL rebase (and a full rewrite always
+        conflicts). rescale passes this; incremental merges rely on the
+        single-writer contract + O_EXCL instead."""
         cur = self.snapshot()
+        if (
+            expect_n_buckets is not None
+            and cur.raw["n_buckets"] != expect_n_buckets
+        ):
+            raise ConcurrentBucketConflict(
+                f"table was rescaled to n_buckets={cur.raw['n_buckets']} "
+                f"while this commit was computed for {expect_n_buckets}; "
+                "re-run against the new snapshot"
+            )
+        if base_version is not None and cur.version != base_version:
+            raise ConcurrentBucketConflict(
+                f"snapshot advanced from {base_version} to {cur.version} "
+                "since this commit was planned; re-run against the new "
+                "snapshot"
+            )
         raw = json.loads(json.dumps(cur.raw))  # deep copy
         version = cur.version + 1
         raw["version"] = version
         raw["parent"] = cur.version
+        if new_n_buckets is not None:
+            missing = set(cur.files) - {int(b) for b in replaced_buckets}
+            if missing:
+                raise ValueError(
+                    f"a rescale commit must replace every bucket; missing "
+                    f"{sorted(missing)}"
+                )
+            raw["n_buckets"] = int(new_n_buckets)
         if new_schema is not None and new_schema.jsonValue() != cur.schema.jsonValue():
             raw["schema_version"] = cur.schema_version + 1
             raw["schemas"][str(raw["schema_version"])] = new_schema.jsonValue()
@@ -331,6 +379,13 @@ class LakeTable:
         except FileExistsError:
             if _retries <= 0:
                 raise
+            if new_n_buckets is not None:
+                # a rescale is a full rewrite — whatever landed first
+                # invalidated it entirely; never rebase
+                raise ConcurrentBucketConflict(
+                    "rescale lost the commit race; recompute against the "
+                    "new snapshot"
+                )
             # only REPLACED buckets create a rebase hazard (this writer
             # resolved against their prior contents); pure appends
             # (MoR merges, DLQ/bootstrap) commute with any concurrent
@@ -355,6 +410,7 @@ class LakeTable:
                 # would read with the renamed column nulled
                 applied_update=applied_update,
                 summary=summary,
+                expect_n_buckets=expect_n_buckets,
                 _retries=_retries - 1,
             )
         return Snapshot(version, raw)
