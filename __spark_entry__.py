@@ -171,6 +171,54 @@ def _conflict_query(mode: str):
     return q
 
 
+def _mor_fww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read table with the first_write_wins READ fold (table
+    property 'conflict'): the whole changelog replays as appends in two
+    scrambled halves; the read keeps each user's MIN-op_sequence event
+    (an earliest DELETE tombstones the key forever)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).select(
+        "op_sequence", "op", "user_id", "value_cents", "ts_us"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_morfww_")
+    table = LakeTable.create(
+        os.path.join(tmp, "t"),
+        schema,
+        "user_id",
+        n_buckets=8,
+        properties={"merge_mode": "mor", "conflict": "first_write_wins"},
+    )
+    # out-of-order halves: FWW-by-sequence converges in any order
+    merge_into(
+        spark,
+        table,
+        cl.filter(F.col("op_sequence") % 2 == 1),
+        epoch=0,
+        conflict="first_write_wins",
+    )
+    merge_into(
+        spark,
+        table,
+        cl.filter(F.col("op_sequence") % 2 == 0),
+        epoch=1,
+        conflict="first_write_wins",
+    )
+    return table.read(spark).select("user_id", "value_cents", "ts_us")
+
+
 def _replay_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay across a MID-STREAM bucket rescale (partition-spec
     evolution): half the changelog merges into a 4-bucket table, the
@@ -544,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_reject": _conflict_query("reject"),
         "cdc_conflict_fww": _conflict_query("first_write_wins"),
         "cdc_replay_rescale": _replay_rescale,
+        "cdc_mor_fww": _mor_fww,
         "cdc_multi_table_route": _multi_table_route,
         "cdc_event_filter": _event_filter,
         "transform_chain": _transform_chain,
@@ -667,6 +716,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT bf.user_id, bf.bval AS value_cents, bf.bts AS ts_us
             FROM bf LEFT JOIN t ON bf.user_id = t.user_id
             WHERE t.user_id IS NULL AND bf.op <> 'DELETE'
+        """,
+        "cdc_mor_fww": f"""
+            -- merge-on-read FWW fold: each user's MIN-op_sequence event
+            -- decides; an earliest DELETE means no row
+            SELECT user_id, value_cents, ts_us FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY op_sequence ASC) rn
+              FROM ({_CHANGELOG_SQL})
+            ) WHERE rn = 1 AND op <> 'DELETE'
         """,
         "cdc_replay_rescale": f"""
             -- a mid-stream bucket rescale is semantically invisible:

@@ -34,6 +34,17 @@ def compact(
     Returns a summary dict. Atomic (one snapshot commit)."""
     t0 = time.time()
     snap = table.snapshot()
+    if (
+        purge_tombstone_watermark is not None
+        and table.merge_mode == "mor"
+        and table.mor_conflict == "first_write_wins"
+    ):
+        raise ValueError(
+            "first_write_wins tombstones never expire by seq watermark: "
+            "under FWW a tombstone wins against ANY later event, so purging "
+            "one lets a future event resurrect the key; use "
+            "purge_all_tombstones once the change log is fully drained"
+        )
     chosen = sorted(snap.files.keys()) if buckets is None else sorted(buckets)
     if not chosen:
         return {"buckets": 0, "seconds": 0.0}

@@ -409,11 +409,15 @@ def merge_into(
             # for key-spread change streams approaches a full-table
             # rewrite per batch as the table grows). Readers resolve
             # LWW per key (LakeTable.read); compaction folds versions.
-            if conflict != "last_write_wins":
+            if conflict != table.mor_conflict:
                 raise ValueError(
-                    "merge-on-read tables support conflict='last_write_wins' "
-                    "only — the other strategies need the pre-merge target "
-                    "state, which MoR defers to read time"
+                    f"this merge-on-read table resolves "
+                    f"conflict={table.mor_conflict!r} at read time; a merge "
+                    f"with conflict={conflict!r} would append rows the read "
+                    "fold interprets under the other rule. last_write_wins "
+                    "and first_write_wins are read-time folds chosen by the "
+                    "table's 'conflict' property at create; reject/merge "
+                    "need the pre-merge target state and stay CoW-only"
                 )
             rows = table.bucket_of(_as_table_rows(deduped, table, op_col, seq_col))
             commit_dir = table.new_commit_dir()

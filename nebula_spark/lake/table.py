@@ -158,6 +158,23 @@ class LakeTable:
         return self.snapshot().raw.get("properties", {}).get("merge_mode", "cow")
 
     @property
+    def mor_conflict(self) -> str:
+        """The conflict strategy a merge-on-read table resolves at READ
+        time — a TABLE property, not a per-merge argument, because every
+        appended row version is folded by one rule when scanned:
+        'last_write_wins' keeps the max-_seq version per key,
+        'first_write_wins' the min (an earliest tombstone wins forever;
+        a bootstrap row at _seq=-1 beats any later event — it *was*
+        first). Writers must merge with the matching conflict; readers
+        pick the fold from here. reject/merge need the pre-image target
+        state and stay CoW-only."""
+        return (
+            self.snapshot()
+            .raw.get("properties", {})
+            .get("conflict", "last_write_wins")
+        )
+
+    @property
     def n_buckets(self) -> int:
         return self.snapshot().raw["n_buckets"]
 
@@ -505,16 +522,19 @@ class LakeTable:
                 out = out.unionByName(p)
         if by_sv and self.merge_mode == "mor":
             # merge-on-read resolution: buckets hold every appended row
-            # version of a key — keep the max-_seq one. One hash
-            # aggregation (partial agg combines map-side; same shuffle
-            # shape as the LWW dedup), keyed exactly like the bucket
-            # layout so a bucket-pruned read resolves only its slice.
+            # version of a key — keep the max-_seq one (LWW) or the
+            # min-_seq one (FWW, per the table's conflict property). One
+            # hash aggregation (partial agg combines map-side; same
+            # shuffle shape as the LWW dedup), keyed exactly like the
+            # bucket layout so a bucket-pruned read resolves only its
+            # slice.
             key = snap.raw["key_col"]
             others = [c for c in out.columns if c not in (key, SEQ_COL)]
             packed = F.struct(F.col(SEQ_COL), *[F.col(c) for c in others])
+            fold = F.min if self.mor_conflict == "first_write_wins" else F.max
             out = (
                 out.groupBy(key)
-                .agg(F.max(packed).alias("_m"))
+                .agg(fold(packed).alias("_m"))
                 .select(F.col(key), F.col(f"_m.{SEQ_COL}"), *[F.col(f"_m.{c}") for c in others])
                 .select(*[F.col(f.name) for f in cur_schema.fields])
             )

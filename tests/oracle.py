@@ -8,13 +8,19 @@ import duckdb
 
 
 def replay_final_state(
-    binlog_parquet_glob: str, base_parquet: str | None = None, where: str = ""
+    binlog_parquet_glob: str,
+    base_parquet: str | None = None,
+    where: str = "",
+    order: str = "DESC",
 ):
     """Return DuckDB relation of the expected final table
     (doc_id, tokens, n_tok, source), LWW over op_sequence; DELETE wins
     remove. ``base_parquet`` rows act as op_sequence=-1 INSERTs.
     ``where``: extra predicate on the binlog scan (e.g. a
-    ``source_table`` route filter for multi-table streams)."""
+    ``source_table`` route filter for multi-table streams).
+    ``order``: 'DESC' = last-writer-wins (default); 'ASC' =
+    first-writer-wins (the MIN op_sequence event per key decides)."""
+    assert order in ("DESC", "ASC")
     con = duckdb.connect()
     base_cte = (
         f"SELECT -1::BIGINT AS op_sequence, 'INSERT' AS op, doc_id, tokens, "
@@ -25,7 +31,7 @@ def replay_final_state(
     cond = f"WHERE {where}" if where else ""
     q = f"""
     SELECT doc_id, tokens, n_tok, source FROM (
-      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY op_sequence DESC) rn
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY op_sequence {order}) rn
       FROM ({base_cte}
             SELECT op_sequence, op, doc_id, tokens, n_tok, source
             FROM read_parquet('{binlog_parquet_glob}') {cond})

@@ -214,3 +214,123 @@ def test_mor_bootstrap_then_replay(spark, tmp_path):
         base_parquet=os.path.join(base_dir, "*.parquet"),
     )
     assert_equivalent(table.read(spark), oracle)
+
+
+def _mor_fww(tmp_path, name="mf", buckets=4):
+    return LakeTable.create(
+        str(tmp_path / name),
+        SEQUENCE_SCHEMA,
+        "doc_id",
+        n_buckets=buckets,
+        properties={"merge_mode": "mor", "conflict": "first_write_wins"},
+    )
+
+
+def test_mor_fww_replay_matches_oracle_any_order(spark, tmp_path):
+    """MoR + first_write_wins: the read fold keeps the MIN-_seq version
+    per key (an earliest DELETE tombstones the key forever). Replay in
+    scrambled batch order converges to the same state — FWW by sequence
+    is order-independent, unlike presence-based FWW."""
+    import os
+
+    table = _mor_fww(tmp_path)
+    assert table.mor_conflict == "first_write_wins"
+    batches = [
+        gen_binlog(spark, 2000, 150, seed=50 + i).withColumn(
+            "op_sequence", F.col("op_sequence") + i * 10_000
+        )
+        for i in range(3)
+    ]
+    glob_dir = str(tmp_path / "log")
+    for i, b in enumerate(batches):
+        b.write.parquet(os.path.join(glob_dir, f"b{i}"))
+    # deliver out of order: 2, 0, 1
+    for i in (2, 0, 1):
+        merge_into(
+            spark, table, batches[i], epoch=i, conflict="first_write_wins"
+        )
+    oracle = replay_final_state(glob_dir + "/*/*.parquet", order="ASC")
+    assert_equivalent(table.read(spark), oracle)
+
+    # compaction folds versions without changing the FWW answer
+    before_files = sum(len(fs) for fs in table.snapshot().files.values())
+    compact(spark, table)
+    after_files = sum(len(fs) for fs in table.snapshot().files.values())
+    assert after_files < before_files
+    assert_equivalent(table.read(spark), oracle)
+
+
+def test_mor_fww_bootstrap_rows_always_win(spark, tmp_path):
+    """A bootstrap snapshot appends at _seq=-1: under FWW it was first,
+    so NO later change event may override a bootstrapped key."""
+    from nebula_spark.cdc.binlog import gen_base_table
+    from nebula_spark.lake.merge import append_into
+
+    table = _mor_fww(tmp_path)
+    base = gen_base_table(spark, 100, seed=7)
+    append_into(spark, table, base, epoch="-1", summary_op="bootstrap")
+    events = gen_binlog(spark, 1500, 120, seed=53)
+    merge_into(spark, table, events, epoch=0, conflict="first_write_wins")
+
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in table.read(spark).collect()
+    }
+    for r in base.collect():
+        assert got[r["doc_id"]] == (list(r["tokens"]), r["n_tok"], r["source"])
+    # keys outside the bootstrap got their FIRST event's image
+    import duckdb
+
+    events_path = str(tmp_path / "ev")
+    events.write.parquet(events_path)
+    first = duckdb.sql(f"""
+        SELECT doc_id, tokens, n_tok, source FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY op_sequence ASC) rn
+          FROM read_parquet('{events_path}/*.parquet')
+        ) WHERE rn = 1 AND op <> 'DELETE'
+    """).fetchall()
+    base_ids = {r["doc_id"] for r in base.collect()}
+    for d, t, n, s in first:
+        if d not in base_ids:
+            assert got.get(d) == (list(t), n, s), d
+    # an early tombstone outside the bootstrap keeps the key absent
+    first_del = duckdb.sql(f"""
+        SELECT doc_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY op_sequence ASC) rn
+          FROM read_parquet('{events_path}/*.parquet')
+        ) WHERE rn = 1 AND op = 'DELETE'
+    """).fetchall()
+    dead = {d for (d,) in first_del} - base_ids
+    assert dead and not (dead & set(got))
+
+
+def test_mor_conflict_mode_mismatch_raises(spark, tmp_path):
+    """The read fold is a table-level rule: merging with the other
+    conflict mode must fail loudly, both directions."""
+    fww = _mor_fww(tmp_path, "f2")
+    lww = _mor(tmp_path, "l2")
+    batch = gen_binlog(spark, 100, 50, seed=55)
+    with pytest.raises(ValueError, match="read time"):
+        merge_into(spark, fww, batch, epoch=0)  # defaults to LWW
+    with pytest.raises(ValueError, match="read time"):
+        merge_into(spark, lww, batch, epoch=0, conflict="first_write_wins")
+
+
+def test_mor_fww_watermark_purge_guard(spark, tmp_path):
+    """FWW tombstones never expire by seq watermark — purging one would
+    let any later event resurrect the key."""
+    table = _mor_fww(tmp_path, "f3")
+    merge_into(
+        spark,
+        table,
+        gen_binlog(spark, 500, 80, seed=56),
+        epoch=0,
+        conflict="first_write_wins",
+    )
+    with pytest.raises(ValueError, match="resurrect"):
+        compact(spark, table, purge_tombstone_watermark=100)
+    # full purge after drain is allowed
+    out = compact(spark, table, purge_all_tombstones=True)
+    assert out["buckets"] > 0
