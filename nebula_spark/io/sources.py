@@ -175,7 +175,17 @@ def incremental_diff(spark: SparkSession, path: str, from_version: int, to_versi
     metadata alone (a per-version manifest diff — no data read), and
     both sides of the _seq comparison scan ONLY those buckets. A CDC
     "what changed since v" over a 100 TB table therefore reads the
-    touched fraction twice, not the whole table twice."""
+    touched fraction twice, not the whole table twice.
+
+    Within the changed buckets, the new side additionally prunes by the
+    lineage LOW-water mark of ``from_version`` (min over source
+    partitions of the applied offsets): every event at/below it was
+    applied before ``from_version``, so a row version there cannot be
+    new — files wholly below the mark are skipped from the manifest
+    stats without being opened, and the surviving files scan with a
+    pushed-down ``_seq >`` predicate (parquet row-group skipping). Not
+    applied under a first_write_wins fold, where the winning version
+    can sit below any floor."""
     from pyspark.sql import functions as F
 
     from nebula_spark.lake import LakeTable
@@ -202,12 +212,24 @@ def incremental_diff(spark: SparkSession, path: str, from_version: int, to_versi
         # impossible; fall back to the full-table comparison
         buckets = None
 
-    new = t.read(spark, version=to_v, buckets=buckets, include_internal=True)
+    fww = (
+        t.merge_mode == "mor" and t.mor_conflict == "first_write_wins"
+    )
+    lw = None if fww else t.low_water_mark(from_version)
+    new = t.read(
+        spark,
+        version=to_v,
+        buckets=buckets,
+        include_internal=True,
+        min_seq_exclusive=lw,
+    )
     if buckets is not None and not buckets:
         return new.limit(0)
     old = t.read(
         spark, version=from_version, buckets=buckets, include_internal=True
     ).select(F.col(t.key_col), F.col("_seq").alias("_old_seq"))
+    # '!=' (not '>'): under a FWW fold a changed key's winning _seq
+    # DECREASES; under LWW/CoW it only increases, so != is equivalent
     return new.join(old, on=t.key_col, how="left").filter(
-        F.col("_old_seq").isNull() | (F.col("_seq") > F.col("_old_seq"))
+        F.col("_old_seq").isNull() | (F.col("_seq") != F.col("_old_seq"))
     ).drop("_old_seq")

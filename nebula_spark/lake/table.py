@@ -196,15 +196,24 @@ class LakeTable:
     def applied_epochs(self) -> set[str]:
         return set(self.snapshot().applied.keys())
 
-    def partition_offsets(self) -> dict[str, int]:
+    def partition_offsets(self, version: int | None = None) -> dict[str, int]:
         """Per-source-partition high-water marks (max op_sequence applied),
         folded over all commits — the lineage offsets of the north rule."""
         offsets: dict[str, int] = {}
-        for entry in self.snapshot().applied.values():
+        for entry in self.snapshot(version).applied.values():
             for pid, seq in entry.get("partitions", {}).items():
                 if seq is not None:
                     offsets[pid] = max(offsets.get(pid, -1), int(seq))
         return offsets
+
+    def low_water_mark(self, version: int | None = None) -> int | None:
+        """min over source partitions of the lineage offsets: every
+        event with op_sequence ≤ this was applied by ``version``. The
+        safe floor for incremental pruning (a per-partition stream can
+        lag, so only the MIN bounds what might still arrive). None when
+        no lineage exists."""
+        offsets = self.partition_offsets(version)
+        return min(offsets.values()) if offsets else None
 
     # ---------- create / commit ----------
 
@@ -379,10 +388,23 @@ class LakeTable:
         for b in replaced_buckets:
             files.pop(int(b), None)
         for b, paths in (new_files_by_bucket or {}).items():
-            normalized = [p if isinstance(p, tuple) else (p, 0) for p in paths]
+            normalized = [
+                p + (None, None) * ((4 - len(p)) // 2)
+                if isinstance(p, tuple)
+                else (p, 0, None, None)
+                for p in paths
+            ]
             entries = [
-                {"path": p, "schema_version": sv, "size": sz}
-                for p, sz in sorted(normalized)
+                {
+                    "path": p,
+                    "schema_version": sv,
+                    "size": sz,
+                    "min_seq": mn,
+                    "max_seq": mx,
+                }
+                for p, sz, mn, mx in sorted(
+                    normalized, key=lambda t: (t[0], t[1])
+                )
             ]
             files.setdefault(int(b), [])
             files[int(b)] = files[int(b)] + entries
@@ -442,20 +464,58 @@ class LakeTable:
         return d
 
     @staticmethod
-    def list_written_files(commit_dir: str) -> dict[int, list[tuple[str, int]]]:
+    def _seq_stats(path: str) -> tuple[int | None, int | None]:
+        """(min,max) of the _seq column from the parquet FOOTER — a
+        driver-side metadata read (no data pages touched), a few ms per
+        file, bounded by files-per-commit. Returns (None, None) when the
+        writer produced no statistics."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == SEQ_COL:
+                    idx = i
+                    break
+            if idx is None:
+                return None, None
+            mn = mx = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None, None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            return (
+                int(mn) if mn is not None else None,
+                int(mx) if mx is not None else None,
+            )
+        except Exception:
+            return None, None
+
+    @staticmethod
+    def list_written_files(
+        commit_dir: str,
+    ) -> dict[int, list[tuple[str, int, int | None, int | None]]]:
         """Collect parquet files written by ``partitionBy('_bucket')``
-        under ``commit_dir`` → {bucket: [(abs path, bytes)]}."""
-        out: dict[int, list[tuple[str, int]]] = {}
+        under ``commit_dir`` → {bucket: [(abs path, bytes, min_seq,
+        max_seq)]}. The _seq span per file powers metadata-only pruning
+        (incremental reads skip files wholly below a lineage low-water
+        mark without opening them)."""
+        out: dict[int, list[tuple[str, int, int | None, int | None]]] = {}
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
                 continue
             b = int(entry.split("=", 1)[1])
             d = os.path.join(commit_dir, entry)
-            paths = [
-                (os.path.join(d, f), os.path.getsize(os.path.join(d, f)))
-                for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            ]
+            paths = []
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(d, f)
+                mn, mx = LakeTable._seq_stats(p)
+                paths.append((p, os.path.getsize(p), mn, mx))
             if paths:
                 out[b] = paths
         return out
@@ -478,6 +538,7 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         version: int | None = None,
         include_internal: bool = False,
+        min_seq_exclusive: int | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-travelled),
         aligning every file group to the snapshot's current schema.
@@ -487,24 +548,64 @@ class LakeTable:
         the current one — this is how int→long widening and added
         columns read correctly without rewriting history. The union is
         a metadata-only plan node; Spark still scans in one stage.
-        """
+
+        ``min_seq_exclusive``: only rows with _seq strictly above this
+        floor. Files whose manifest max_seq sits at/below the floor are
+        skipped WITHOUT being opened (no input split at all), and the
+        row predicate additionally pushes into the parquet scan so
+        row-group statistics skip pages inside surviving files. Sound
+        for CoW and MoR-LWW reads (a version at/below the floor can
+        never be the fold winner above it); refused on FWW tables,
+        where the MIN fold's winner may live below any floor.
+
+        MoR fold skip: a bucket whose live file list is a single file
+        holds at most one row version per key — every engine write path
+        commits key-unique files (merges dedup per key before writing;
+        compaction/rescale fold; bootstrap input is key-unique by
+        contract) — so its read is a plain scan, no aggregation and no
+        shuffle. After compaction that is every bucket: a fully
+        compacted MoR table reads exactly like a CoW one."""
         snap = self.snapshot(version)
         cur_schema = snap.schema
+        mor = self.merge_mode == "mor"
+        if min_seq_exclusive is not None and mor and (
+            self.mor_conflict == "first_write_wins"
+        ):
+            raise ValueError(
+                "min_seq_exclusive pruning is unsound under the "
+                "first_write_wins fold: the winning (minimum) version can "
+                "sit below any floor"
+            )
         want = None if buckets is None else {int(b) for b in buckets}
-        by_sv: dict[int, list[str]] = {}
+        selected: dict[int, list[dict]] = {}
         for b, entries in snap.files.items():
             if want is not None and b not in want:
                 continue
-            for e in entries:
+            keep = [
+                e
+                for e in entries
+                if not (
+                    min_seq_exclusive is not None
+                    and e.get("max_seq") is not None
+                    and e["max_seq"] <= min_seq_exclusive
+                )
+            ]
+            if keep:
+                selected[b] = keep
+
+        renames = snap.renames
+
+        def scan(entry_list: list[dict]) -> DataFrame | None:
+            by_sv: dict[int, list[str]] = {}
+            for e in entry_list:
                 by_sv.setdefault(int(e["schema_version"]), []).append(e["path"])
-        if not by_sv:
-            out = spark.createDataFrame([], cur_schema)
-        else:
-            renames = snap.renames
             parts: list[DataFrame] = []
             for sv, paths in sorted(by_sv.items()):
                 file_schema = T.StructType.fromJson(snap.raw["schemas"][str(sv)])
                 df = spark.read.schema(file_schema).parquet(*paths)
+                if min_seq_exclusive is not None:
+                    # pushed into the parquet scan (row-group stats)
+                    df = df.filter(F.col(SEQ_COL) > F.lit(min_seq_exclusive))
                 # files written before a declared rename carry the old
                 # column name — map it to the current one so the
                 # renamed column's history survives (the reference's
@@ -517,27 +618,55 @@ class LakeTable:
                 if to_rename:
                     df = df.withColumnsRenamed(to_rename)
                 parts.append(align_to_schema(df, cur_schema))
+            if not parts:
+                return None
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-        if by_sv and self.merge_mode == "mor":
-            # merge-on-read resolution: buckets hold every appended row
-            # version of a key — keep the max-_seq one (LWW) or the
-            # min-_seq one (FWW, per the table's conflict property). One
-            # hash aggregation (partial agg combines map-side; same
-            # shuffle shape as the LWW dedup), keyed exactly like the
-            # bucket layout so a bucket-pruned read resolves only its
-            # slice.
-            key = snap.raw["key_col"]
-            others = [c for c in out.columns if c not in (key, SEQ_COL)]
-            packed = F.struct(F.col(SEQ_COL), *[F.col(c) for c in others])
-            fold = F.min if self.mor_conflict == "first_write_wins" else F.max
+            return out
+
+        if not mor:
+            out = scan([e for es in selected.values() for e in es])
+        else:
+            fold_entries = [
+                e for es in selected.values() if len(es) > 1 for e in es
+            ]
+            plain_entries = [
+                e for es in selected.values() if len(es) == 1 for e in es
+            ]
+            folded = scan(fold_entries)
+            if folded is not None:
+                # merge-on-read resolution: multi-file buckets hold
+                # several appended versions per key — keep the max-_seq
+                # one (LWW) or the min (FWW, table property). One hash
+                # aggregation (partial agg combines map-side; same
+                # shuffle shape as the LWW dedup), keyed exactly like
+                # the bucket layout so a bucket-pruned read resolves
+                # only its slice.
+                key = snap.raw["key_col"]
+                others = [c for c in folded.columns if c not in (key, SEQ_COL)]
+                packed = F.struct(F.col(SEQ_COL), *[F.col(c) for c in others])
+                fold = (
+                    F.min if self.mor_conflict == "first_write_wins" else F.max
+                )
+                folded = (
+                    folded.groupBy(key)
+                    .agg(fold(packed).alias("_m"))
+                    .select(
+                        F.col(key),
+                        F.col(f"_m.{SEQ_COL}"),
+                        *[F.col(f"_m.{c}") for c in others],
+                    )
+                    .select(*[F.col(f.name) for f in cur_schema.fields])
+                )
+            plain = scan(plain_entries)
             out = (
-                out.groupBy(key)
-                .agg(fold(packed).alias("_m"))
-                .select(F.col(key), F.col(f"_m.{SEQ_COL}"), *[F.col(f"_m.{c}") for c in others])
-                .select(*[F.col(f.name) for f in cur_schema.fields])
+                plain.unionByName(folded)
+                if plain is not None and folded is not None
+                else (plain if plain is not None else folded)
             )
+        if out is None:
+            out = spark.createDataFrame([], cur_schema)
         if not include_internal:
             # live rows only, user columns only
             if DELETED_COL in out.columns:
