@@ -161,6 +161,7 @@ def cmd_stream(args) -> dict:
         conflict=args.conflict,
         renames=json.loads(args.renames) if args.renames else None,
         auto_compact_files=args.auto_compact_files,
+        adaptive_target_batch_s=args.adaptive_target_batch_s,
         dlq_table=dlq,
     )
     out["bootstrap"] = snapshot_info
@@ -368,6 +369,14 @@ def main(argv=None):
             # in-stream small-file maintenance: compact any bucket
             # whose file count exceeds this after a batch commits
             s.add_argument("--auto-compact-files", type=int, default=None)
+            s.add_argument(
+                "--adaptive-target-batch-s",
+                type=float,
+                default=None,
+                help="adaptive trigger sizing: halve/double "
+                "maxFilesPerTrigger to track this batch duration "
+                "(restarts from checkpoint; exactly-once preserved)",
+            )
         s.set_defaults(fn=fn)
 
     sh = sub.add_parser("show")

@@ -31,6 +31,12 @@ from nebula_spark.cdc.transforms import Transform
 from nebula_spark.lake.table import LakeTable
 
 
+class _TriggerResize(Exception):
+    """Internal control-flow signal: the last micro-batch's duration
+    asked for a different maxFilesPerTrigger. Raised AFTER the batch
+    committed, so the restart redelivers it as a manifest-skip no-op."""
+
+
 def run_stream(
     spark: SparkSession,
     table: LakeTable,
@@ -49,10 +55,24 @@ def run_stream(
     retry_max: int = 3,
     retry_backoff_s: float = 1.0,
     auto_compact_files: int | None = None,
+    adaptive_target_batch_s: float | None = None,
+    adaptive_max_trigger: int = 64,
 ) -> dict:
     """Run the ingest stream until the backlog is drained
     (``available_now``) or indefinitely. Returns throughput metrics
     built from the streaming progress + the table manifest.
+
+    ``adaptive_target_batch_s`` turns on adaptive trigger sizing — the
+    reference's backpressure controller (buffer-utilization thresholds,
+    /root/reference/internal/pipeline/backpressure.go:16-98) mapped to
+    the one knob Structured Streaming actually exposes: files per
+    trigger. A batch taking >1.5× the target halves the trigger; one
+    finishing <0.5× doubles it (capped at ``adaptive_max_trigger``).
+    maxFilesPerTrigger is fixed at stream start, so a resize STOPS the
+    drained-so-far stream and restarts it from the same checkpoint with
+    the new size — the resize signal is raised AFTER the batch's commit,
+    so the redelivered batch is a manifest-skip no-op and exactly-once
+    holds across every restart. availableNow only.
 
     ``auto_compact_files``: every copy-on-write merge leaves fresh
     files in the touched buckets, so a long stream's per-bucket file
@@ -75,6 +95,16 @@ def run_stream(
 
     ingest_metrics = IngestMetrics()
     metrics = {"batches": 0, "skipped": 0, "events": 0, "retries": 0, "batches_dlq": 0}
+    trigger_state = {
+        "cur": max_files_per_trigger,
+        "resizes": [],
+        "pending": False,
+    }
+    if adaptive_target_batch_s is not None and not available_now:
+        raise ValueError(
+            "adaptive trigger sizing resizes via availableNow restarts; "
+            "unsupported for a continuous stream"
+        )
 
     def apply_once(batch_df, batch_id: int):
         return apply_changes(
@@ -90,6 +120,7 @@ def run_stream(
         )
 
     def apply_batch(batch_df, batch_id: int):
+        t_batch = time.time()
         attempt = 0
         while True:
             try:
@@ -140,26 +171,55 @@ def run_stream(
                 metrics["compactions"] = metrics.get("compactions", 0) + 1
         if metrics_path:
             ingest_metrics.dump(metrics_path, table)
+        if adaptive_target_batch_s is not None and not res.merge.skipped:
+            # decide AFTER the commit: a resize raises, Spark fails the
+            # batch, and the restart redelivers it as a manifest skip —
+            # exactly-once is untouched. Redelivered (skipped) batches
+            # make no decision (their duration measures nothing).
+            dt = time.time() - t_batch
+            cur = trigger_state["cur"]
+            new = cur
+            if dt > 1.5 * adaptive_target_batch_s and cur > 1:
+                new = max(1, cur // 2)
+            elif dt < 0.5 * adaptive_target_batch_s and cur < adaptive_max_trigger:
+                new = min(adaptive_max_trigger, cur * 2)
+            if new != cur:
+                trigger_state["cur"] = new
+                trigger_state["pending"] = True
+                trigger_state["resizes"].append(
+                    {"batch": batch_id, "from": cur, "to": new,
+                     "batch_s": round(dt, 3)}
+                )
+                raise _TriggerResize
 
-    reader = (
-        spark.readStream.schema(schema or BINLOG_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        # binlog chunks are written dir-per-chunk (_chunk=K)
-        .option("recursiveFileLookup", "true")
-        .parquet(binlog_dir)
-    )
-    writer = reader.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    def build_writer():
+        reader = (
+            spark.readStream.schema(schema or BINLOG_SCHEMA)
+            .option("maxFilesPerTrigger", trigger_state["cur"])
+            # binlog chunks are written dir-per-chunk (_chunk=K)
+            .option("recursiveFileLookup", "true")
+            .parquet(binlog_dir)
+        )
+        return reader.writeStream.foreachBatch(apply_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+
     t0 = time.time()
     if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        while True:
+            q = build_writer().trigger(availableNow=True).start()
+            try:
+                q.awaitTermination()
+                break
+            except Exception:
+                if not trigger_state["pending"]:
+                    raise
+                trigger_state["pending"] = False  # restart with new size
     else:
-        q = writer.start()
+        q = build_writer().start()
         return {"query_id": str(q.id)}
     dt = time.time() - t0
-    return {
+    out = {
         **metrics,
         "seconds": round(dt, 2),
         "events_per_sec": round(metrics["events"] / dt, 1) if dt > 0 else None,
@@ -167,6 +227,10 @@ def run_stream(
         "lineage_offsets": table.partition_offsets(),
         "detail": ingest_metrics.snapshot(),
     }
+    if adaptive_target_batch_s is not None:
+        out["trigger_resizes"] = trigger_state["resizes"]
+        out["final_trigger"] = trigger_state["cur"]
+    return out
 
 
 @dataclass

@@ -367,3 +367,49 @@ def test_dlq_reprocess_rejects_reject_mode_via_env(spark, tmp_path, monkeypatch)
     monkeypatch.setenv("NEBULA_CONFLICT", "reject")
     with pytest.raises(ValueError, match="reject"):
         reprocess_dlq(spark, dlq, table)
+
+
+def test_adaptive_trigger_shrinks_and_grows(spark, tmp_path):
+    """Adaptive trigger sizing (the reference's backpressure controller
+    mapped to maxFilesPerTrigger): batches slower than the target halve
+    the trigger, faster ones double it; every resize restarts from the
+    checkpoint and the redelivered batch manifest-skips, so the final
+    state stays oracle-exact."""
+    binlog = str(tmp_path / "b")
+    write_binlog_chunks(
+        gen_binlog(spark, 4000, 200, seed=91), binlog, n_chunks=8, files_per_chunk=1
+    )
+    oracle = replay_final_state(os.path.join(binlog, "*", "*.parquet"))
+
+    # shrink: an unreachable target makes every measured batch "slow"
+    t1 = LakeTable.create(str(tmp_path / "t1"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    out = run_stream(
+        spark,
+        t1,
+        binlog,
+        checkpoint_dir=str(tmp_path / "ck1"),
+        max_files_per_trigger=4,
+        adaptive_target_batch_s=0.001,
+    )
+    assert out["final_trigger"] == 1
+    assert [(r["from"], r["to"]) for r in out["trigger_resizes"]] == [(4, 2), (2, 1)]
+    assert_equivalent(t1.read(spark), oracle)
+
+    # grow (recovery): a generous target doubles the trigger while the
+    # backlog lasts
+    t2 = LakeTable.create(str(tmp_path / "t2"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    out2 = run_stream(
+        spark,
+        t2,
+        binlog,
+        checkpoint_dir=str(tmp_path / "ck2"),
+        max_files_per_trigger=1,
+        adaptive_target_batch_s=120.0,
+        adaptive_max_trigger=4,
+    )
+    assert out2["final_trigger"] == 4
+    assert [(r["from"], r["to"]) for r in out2["trigger_resizes"]][:2] == [
+        (1, 2),
+        (2, 4),
+    ]
+    assert_equivalent(t2.read(spark), oracle)
