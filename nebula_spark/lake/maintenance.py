@@ -139,7 +139,54 @@ def rescale(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> dict:
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> int:
     """Delete snapshot JSONs (and data files referenced by no retained
     snapshot) older than the last ``keep_last`` — Iceberg's
-    expire_snapshots analogue. Returns number of files removed."""
+    expire_snapshots analogue. Returns number of files removed.
+
+    O(changed), not O(snapshots × files): every commit records the
+    ``removed`` file set whose last reference died with its parent
+    (computed from the replaced buckets at commit time). A file is dead
+    once every snapshot that referenced it is expired — i.e. its
+    removal version is at or below the retention boundary — so the
+    deletion set is just the UNION of the expiring versions' removed
+    lists. Only snapshots below the boundary are even opened; the
+    retained ones (including HEAD's full file listing) are never
+    walked. Snapshots from before the ``removed`` field existed fall
+    back to the full walk."""
+    import os
+
+    head = table.snapshot().version
+    boundary = max(0, head - keep_last + 1)  # first RETAINED version
+    meta = table._meta()
+    all_versions = {
+        int(f[5:17]) for f in os.listdir(meta) if f.startswith("snap-")
+    }
+    expiring = sorted(v for v in all_versions if v < boundary)
+    if not expiring:
+        return 0
+    # union of removed-lists over versions <= boundary: a file removed
+    # at v was referenced by snapshots [birth, v-1] only, all expired
+    dead: set[str] = set()
+    legacy = False
+    for v in sorted(v for v in all_versions if v <= boundary):
+        raw = table.snapshot(v).raw
+        if v > 0 and "removed" not in raw:
+            legacy = True
+            break
+        dead.update(raw.get("removed", []))
+    if legacy:
+        return _expire_snapshots_full_walk(table, keep_last)
+    removed = 0
+    for p in sorted(dead):
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    for v in expiring:
+        os.remove(os.path.join(meta, f"snap-{v:012d}.json"))
+    return removed
+
+
+def _expire_snapshots_full_walk(table: LakeTable, keep_last: int = 10) -> int:
+    """Legacy path for tables whose old snapshots predate the
+    ``removed`` commit field: liveness from walking every snapshot."""
     import os
 
     head = table.snapshot().version

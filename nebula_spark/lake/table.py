@@ -408,6 +408,19 @@ class LakeTable:
             ]
             files.setdefault(int(b), [])
             files[int(b)] = files[int(b)] + entries
+        # files whose LAST reference dies with this commit's parent —
+        # O(replaced buckets) to compute here, and what lets
+        # expire_snapshots delete history in O(changed) instead of
+        # re-walking every snapshot's full file listing
+        gone: list[str] = []
+        for b in replaced_buckets:
+            still = {e["path"] for e in files.get(int(b), [])}
+            gone.extend(
+                e["path"]
+                for e in cur.files.get(int(b), [])
+                if e["path"] not in still
+            )
+        raw["removed"] = sorted(gone)
         raw["files"] = {str(b): fs for b, fs in sorted(files.items())}
         if applied_update:
             raw.setdefault("applied", {}).update(applied_update)

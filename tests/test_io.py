@@ -255,3 +255,61 @@ def test_vacuum_orphans_removes_failed_commit_files(spark, tmp_path):
     assert not os.path.exists(orphan_dir)  # emptied dir pruned
     assert sum(len(fs) for fs in table.snapshot().files.values()) == n_live
     assert sorted(tuple(r) for r in table.read(spark).collect()) == before
+
+
+def test_expire_snapshots_incremental_o_changed(spark, tmp_path, monkeypatch):
+    """The incremental expiry deletes EXACTLY the files whose last
+    reference died below the retention boundary, opens only snapshots
+    at/below the boundary (O(changed), never re-walking the retained
+    file listings), and leaves every retained version readable."""
+    import os
+
+    from nebula_spark.cdc import gen_binlog
+    from nebula_spark.lake.maintenance import expire_snapshots
+
+    table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    for i in range(8):
+        merge_into(
+            spark,
+            table,
+            gen_binlog(spark, 600, 60, seed=30 + i).withColumn(
+                "op_sequence", F.col("op_sequence") + i * 10_000
+            ),
+            epoch=i,
+        )
+    head = table.snapshot().version
+    refs = {
+        v: {e["path"] for es in table.snapshot(v).files.values() for e in es}
+        for v in range(head + 1)
+    }
+    keep_last = 3
+    boundary = head - keep_last + 1
+    live = set().union(*(refs[v] for v in range(boundary, head + 1)))
+    dead_expected = set().union(*(refs[v] for v in range(boundary))) - live
+    assert dead_expected  # the table churned enough to have dead files
+
+    opened: list[int] = []
+    orig = LakeTable.snapshot
+
+    def spy(self, version=None):
+        snap = orig(self, version)
+        opened.append(snap.version)
+        return snap
+
+    monkeypatch.setattr(LakeTable, "snapshot", spy)
+    removed = expire_snapshots(table, keep_last=keep_last)
+    monkeypatch.undo()
+
+    assert removed == len(dead_expected)
+    for p in dead_expected:
+        assert not os.path.exists(p)
+    for p in live:
+        assert os.path.exists(p)
+    # O(changed): beyond the HEAD lookup, only versions <= boundary
+    # were opened — no retained snapshot's file listing was walked
+    assert set(opened) <= set(range(boundary + 1)) | {head}
+    # expired metadata gone, boundary + head still time-travel readable
+    assert not os.path.exists(table._meta("snap-%012d.json" % 0))
+    rows_head = sorted(tuple(r) for r in table.read(spark).collect())
+    assert rows_head
+    assert table.read(spark, version=boundary).count() > 0
