@@ -74,7 +74,7 @@ def apply_changes(
     manifest and every later route's quarantined rows for that
     micro-batch silently skip as already-applied — data loss in the
     safety path. run_multi_stream passes ``f"{route}:"``."""
-    if epoch is not None and str(epoch) in table.applied_epochs():
+    if epoch is not None and table.epoch_applied(epoch):
         return ApplyResult(merge=MergeResult(skipped=True, epoch=epoch))
 
     res = ApplyResult(merge=MergeResult())

@@ -227,7 +227,7 @@ def append_into(
     """Idempotent append (no key matching) — used for the bootstrap
     snapshot load and the dead-letter table. Returns the new snapshot
     version, or -1 if the epoch was already applied / batch empty."""
-    if epoch is not None and str(epoch) in table.applied_epochs():
+    if epoch is not None and table.epoch_applied(epoch):
         return -1
     nb = table.n_buckets  # layout this append is computed under
     if SEQ_COL not in df.columns:
@@ -312,7 +312,7 @@ def merge_into(
     nb = table.n_buckets  # layout this merge is computed under; the
     # commit re-checks it so a concurrent rescale conflicts cleanly
 
-    if epoch is not None and str(epoch) in table.applied_epochs():
+    if epoch is not None and table.epoch_applied(epoch):
         res.skipped = True
         return res
 

@@ -97,8 +97,19 @@ class Snapshot:
 
     @property
     def applied(self) -> dict:
-        """epoch(str) -> {"partitions": {pid: max_op_sequence}, "events": n}"""
+        """epoch(str) -> {"partitions": {pid: max_op_sequence}, "events": n}
+        — the RECENT epochs only; numeric epochs at/below
+        ``applied_watermark`` have been folded into it + ``lineage``
+        (the manifest would otherwise grow with every epoch ever
+        applied: O(epochs) JSON rewritten per commit kills a 10^4-batch
+        stream)."""
         return self.raw.get("applied", {})
+
+    @property
+    def applied_watermark(self) -> int:
+        """Every NUMERIC epoch ≤ this was applied (folded out of
+        ``applied``); -1 when nothing has been folded."""
+        return int(self.raw.get("applied_watermark", -1))
 
     @property
     def renames(self) -> dict[str, str]:
@@ -194,13 +205,34 @@ class LakeTable:
         return out
 
     def applied_epochs(self) -> set[str]:
+        """The recent (unfolded) epoch keys — introspection/metrics.
+        Idempotence checks must use :meth:`epoch_applied`, which also
+        covers epochs folded into the watermark."""
         return set(self.snapshot().applied.keys())
+
+    def epoch_applied(self, epoch) -> bool:
+        """True iff this epoch was already applied — either present in
+        the recent ``applied`` map, or (numeric) at/below the folded
+        ``applied_watermark``."""
+        snap = self.snapshot()
+        s = str(epoch)
+        if s in snap.applied:
+            return True
+        try:
+            n = int(s)
+        except ValueError:
+            return False
+        return n <= snap.applied_watermark
 
     def partition_offsets(self, version: int | None = None) -> dict[str, int]:
         """Per-source-partition high-water marks (max op_sequence applied),
         folded over all commits — the lineage offsets of the north rule."""
-        offsets: dict[str, int] = {}
-        for entry in self.snapshot(version).applied.values():
+        snap = self.snapshot(version)
+        # folded epochs' offsets live in the lineage summary
+        offsets: dict[str, int] = {
+            pid: int(seq) for pid, seq in snap.raw.get("lineage", {}).items()
+        }
+        for entry in snap.applied.values():
             for pid, seq in entry.get("partitions", {}).items():
                 if seq is not None:
                     offsets[pid] = max(offsets.get(pid, -1), int(seq))
@@ -424,6 +456,34 @@ class LakeTable:
         raw["files"] = {str(b): fs for b, fs in sorted(files.items())}
         if applied_update:
             raw.setdefault("applied", {}).update(applied_update)
+        # Bound the manifest: fold old NUMERIC epochs (contiguous from
+        # the watermark — batch ids are sequential per checkpoint; a gap
+        # stops the fold so an unseen id can never be claimed applied)
+        # into applied_watermark + per-partition lineage maxima. Without
+        # this every snapshot carries every epoch ever applied and the
+        # JSON rewrite per commit grows O(epochs) — fatal on a
+        # 10^4-batch stream. Non-numeric epochs (DLQ classes, reprocess
+        # markers) are never folded.
+        limit = int(
+            raw.get("properties", {}).get("max_applied_epochs", 1024)
+        )
+        applied = raw.get("applied", {})
+        if len(applied) > limit:
+            wm = int(raw.get("applied_watermark", -1))
+            lineage = dict(raw.get("lineage", {}))
+            ints = sorted(
+                int(k) for k in applied if k.lstrip("-").isdigit()
+            )
+            for n in ints[: max(0, len(ints) - limit)]:
+                if n > wm + 1:
+                    break  # gap: keep the entry, stop folding
+                e = applied.pop(str(n))
+                for pid, seq in (e.get("partitions") or {}).items():
+                    if seq is not None:
+                        lineage[pid] = max(lineage.get(pid, -1), int(seq))
+                wm = max(wm, n)  # n == wm+1, or the -1 bootstrap epoch
+            raw["applied_watermark"] = wm
+            raw["lineage"] = lineage
         raw["summary"] = summary or {}
         raw["committed_at"] = time.time()
         try:

@@ -89,13 +89,20 @@ def get_spark(
     and only the shuffle sizing applies.
     """
     n = parallelism or default_parallelism()
+    # NEBULA_SHUFFLE_PARTITIONS pins the shuffle width independently of
+    # the core count — required for honest N-vs-4N scaling runs (both
+    # levels must shuffle into the SAME number of partitions, or the
+    # comparison confounds parallelism with task sizing)
+    shuffle_parts = int(
+        os.environ.get("NEBULA_SHUFFLE_PARTITIONS", max(n * 4, 8))
+    )
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
         .appName(app_name)
         # shuffle partitions ~ 4× cores: keeps individual partitions of
         # wide rows (token arrays) small enough to stay in-memory; AQE
         # coalesces the small ones back together
-        .config("spark.sql.shuffle.partitions", str(max(n * 4, 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.default.parallelism", str(max(n, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

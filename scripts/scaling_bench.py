@@ -63,6 +63,33 @@ def run_level(cpus: int, events: int, batches: int, workdir: str) -> dict:
     )
 
 
+def run_cluster_level(n_exec: int, cores: int, events: int, batches: int, workdir: str) -> dict:
+    """Replay on a REAL multi-JVM local-cluster: N executor JVMs × C
+    cores each, with actual serde + netty shuffle between them — the
+    one cost plain local[N] threads hide. merge-on-read mode (the
+    declared 10^10-event operating point)."""
+    return _bench(
+        dict(
+            SPARK_GRAFT_CPUS=str(n_exec * cores),
+            SPARK_MASTER=f"local-cluster[{n_exec},{cores},8192]",
+            SPARK_EXECUTOR_MEMORY="6g",
+            # BOTH levels shuffle into the same partition count, or the
+            # comparison confounds parallelism with task sizing (small
+            # tasks drown in per-task RPC at local-cluster latencies)
+            NEBULA_SHUFFLE_PARTITIONS=os.environ.get(
+                "NEBULA_SHUFFLE_PARTITIONS", "64"
+            ),
+            BENCH_EVENTS=str(events),
+            BENCH_BATCHES=str(batches),
+            BENCH_WORKDIR=workdir,
+            BENCH_ONLY_CDC="1",
+            NEBULA_MERGE_MODE="mor",
+            NEBULA_DEDUP_HOW=os.environ.get("NEBULA_DEDUP_HOW", "window"),
+        ),
+        "cdc_replay",
+    )
+
+
 def run_minhash_level(cpus: int, replicate: int) -> dict:
     return _bench(
         dict(
@@ -123,6 +150,43 @@ def main():
             "docs_per_sec_4n": r["hi"]["docs_per_sec"],
             "all_docs_per_sec_n": r["all_lo"],
             "all_docs_per_sec_4n": r["all_hi"],
+            "scaling_efficiency": r["scaling_efficiency"],
+        }
+        print(json.dumps(result))
+        return
+
+    if workload == "mor_cluster":
+        # N vs 4N EXECUTOR JVMS (1×4 vs 4×4 cores), not threads: argv =
+        # [execs_lo] [execs_hi] [events] [batches]
+        e_lo = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+        e_hi = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        events = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
+        batches = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        cores = int(os.environ.get("CLUSTER_CORES_PER_EXEC", "4"))
+        workdir = f"/tmp/nebula_scaling_mor_{events}_{batches}"
+        os.makedirs(workdir, exist_ok=True)
+        run_cluster_level(e_lo, cores, events, batches, workdir)  # warmup+gen
+        r = _interleaved(
+            rounds,
+            lambda: run_cluster_level(e_lo, cores, events, batches, workdir),
+            lambda: run_cluster_level(e_hi, cores, events, batches, workdir),
+            "sustained_events_per_sec",
+            e_hi / e_lo,
+        )
+        result = {
+            "workload": "cdc_replay_mor_local_cluster",
+            "executors_n": e_lo,
+            "executors_4n": e_hi,
+            "cores_per_executor": cores,
+            "events": events,
+            "batches": batches,
+            "rounds": rounds,
+            "sustained_events_per_sec_n": r["lo"]["sustained_events_per_sec"],
+            "sustained_events_per_sec_4n": r["hi"]["sustained_events_per_sec"],
+            "all_sustained_n": r["all_lo"],
+            "all_sustained_4n": r["all_hi"],
+            "batch_seconds_n": r["lo"]["batch_seconds"],
+            "batch_seconds_4n": r["hi"]["batch_seconds"],
             "scaling_efficiency": r["scaling_efficiency"],
         }
         print(json.dumps(result))

@@ -170,3 +170,61 @@ def test_exactly_once_redelivery(spark, tmp_path):
     r3 = merge_into(spark, table, log, epoch=1)
     assert not r3.skipped
     assert sorted(table.read(spark).collect()) == state1
+
+
+def test_applied_epoch_manifest_folds_bounded(spark, tmp_path):
+    """The exactly-once manifest must not grow with every epoch ever
+    applied (O(epochs) JSON per commit kills a 10^4-batch stream): old
+    NUMERIC epochs fold into applied_watermark + per-partition lineage,
+    idempotence and offsets intact; non-numeric (DLQ-class) epochs
+    never fold."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.cdc import gen_binlog
+    from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+    from nebula_spark.lake import LakeTable
+    from nebula_spark.lake.merge import append_into, merge_into
+
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        SEQUENCE_SCHEMA,
+        "doc_id",
+        n_buckets=4,
+        properties={"max_applied_epochs": 3},
+    )
+    ref = LakeTable.create(  # unbounded twin for offset comparison
+        str(tmp_path / "ref"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+    )
+    batches = [
+        gen_binlog(spark, 300, 60, seed=100 + i).withColumn(
+            "op_sequence", F.col("op_sequence") + i * 1000
+        )
+        for i in range(8)
+    ]
+    for i, b in enumerate(batches):
+        merge_into(spark, table, b, epoch=i)
+        merge_into(spark, ref, b, epoch=i)
+    # a non-numeric epoch rides along (DLQ-class keys never fold);
+    # zero-row appends still record their epoch
+    append_into(spark, table, batches[0].limit(0).drop(
+        "op", "op_sequence", "ts", "txn_id", "partition_id",
+        "schema_version"), epoch="c7", summary_op="dlq")
+
+    snap = table.snapshot()
+    assert snap.applied_watermark >= 4  # old epochs folded out
+    numeric_kept = [k for k in snap.applied if k.lstrip("-").isdigit()]
+    assert len(numeric_kept) <= 3
+    assert "c7" in snap.applied
+    # idempotence covers folded epochs
+    for i in range(8):
+        assert table.epoch_applied(i)
+        res = merge_into(spark, table, batches[i], epoch=i)
+        assert res.skipped
+    assert not table.epoch_applied(99)
+    # lineage offsets identical to the unbounded twin
+    assert table.partition_offsets() == ref.partition_offsets()
+    assert table.low_water_mark() == ref.low_water_mark()
+    # final state identical
+    got = sorted((tuple(r) for r in table.read(spark).collect()), key=repr)
+    want = sorted((tuple(r) for r in ref.read(spark).collect()), key=repr)
+    assert got == want and got
