@@ -222,7 +222,10 @@ class LakeTable:
             n = int(s)
         except ValueError:
             return False
-        return n <= snap.applied_watermark
+        # absent ≠ -1: a fresh table has no watermark, and the bootstrap
+        # epoch IS -1 — the default value must not claim it applied
+        wm = snap.raw.get("applied_watermark")
+        return wm is not None and n <= int(wm)
 
     def partition_offsets(self, version: int | None = None) -> dict[str, int]:
         """Per-source-partition high-water marks (max op_sequence applied),
