@@ -46,7 +46,14 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     n_batches = int(os.environ.get("BENCH_BATCHES", 3))
     max_tok = int(os.environ.get("BENCH_MAX_TOK", 256))
 
-    binlog_dir = os.path.join(workdir, f"binlog_{n_events}_{n_batches}_{max_tok}")
+    # BENCH_BUCKET_ALIGNED: producer-side bucket alignment (16 residues,
+    # fixed across parallelism levels) — pairs with the map-only merge
+    # (NEBULA_DEDUP_HOW=none) so the MoR write path has zero exchanges
+    aligned = bool(os.environ.get("BENCH_BUCKET_ALIGNED"))
+    binlog_dir = os.path.join(
+        workdir,
+        f"binlog_{n_events}_{n_batches}_{max_tok}" + ("_ba" if aligned else ""),
+    )
     if not os.path.exists(os.path.join(binlog_dir, "_SUCCESS")):
         shutil.rmtree(binlog_dir, ignore_errors=True)
         # n_partitions fixed (not cpus) so every parallelism level
@@ -62,7 +69,16 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
             n_partitions=8,
             max_tok=max_tok,
         )
-        write_binlog_chunks(log, binlog_dir, n_chunks=n_batches)
+        write_binlog_chunks(
+            log,
+            binlog_dir,
+            n_chunks=n_batches,
+            **(
+                {"files_per_chunk": 16, "bucket_key": ("doc_id", 16)}
+                if aligned
+                else {}
+            ),
+        )
     chunks = sorted(
         os.path.join(binlog_dir, d)
         for d in os.listdir(binlog_dir)
@@ -89,7 +105,15 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     # batch 1 for the same reason; this fixes the total too)
     warm_dir = os.path.join(workdir, "warmup_table")
     shutil.rmtree(warm_dir, ignore_errors=True)
-    warm = LakeTable.create(warm_dir, SEQUENCE_SCHEMA, "doc_id", n_buckets=4)
+    warm = LakeTable.create(
+        warm_dir,
+        SEQUENCE_SCHEMA,
+        "doc_id",
+        n_buckets=4,
+        # same merge mode as the measured table: NEBULA_DEDUP_HOW=none
+        # (map-only) is valid only on merge-on-read tables
+        properties={"merge_mode": os.environ.get("NEBULA_MERGE_MODE", "cow")},
+    )
     apply_changes(spark, warm, gen_binlog(spark, 2000, 500, seed=7), epoch=0)
     shutil.rmtree(warm_dir, ignore_errors=True)
 

@@ -125,6 +125,7 @@ def cmd_ingest(args) -> dict:
             spark.read.parquet(chunk),
             epoch=epoch,
             conflict=args.conflict,
+            dedup_how=args.dedup_how,
             renames=renames,
             dlq_table=dlq,
         )
@@ -159,6 +160,7 @@ def cmd_stream(args) -> dict:
         checkpoint_dir=args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
         conflict=args.conflict,
+        dedup_how=args.dedup_how,
         renames=json.loads(args.renames) if args.renames else None,
         auto_compact_files=args.auto_compact_files,
         adaptive_target_batch_s=args.adaptive_target_batch_s,
@@ -363,6 +365,14 @@ def main(argv=None):
         # mor: merges append deltas (flat write cost, read-time LWW
         # resolution, compact to fold) — Iceberg's write modes
         s.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+        s.add_argument(
+            "--dedup-how",
+            default="auto",
+            choices=["auto", "agg", "window", "salted", "none"],
+            help="in-batch LWW dedup strategy; 'none' = map-only "
+            "merge-on-read append (zero exchanges — the read fold "
+            "resolves every version; MoR tables only)",
+        )
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
             s.add_argument("--max-files-per-trigger", type=int, default=1)

@@ -197,14 +197,25 @@ def write_binlog_chunks(
     n_chunks: int,
     seq_col: str = "op_sequence",
     files_per_chunk: int = 8,
+    bucket_key: tuple[str, int] | None = None,
 ) -> list[str]:
     """Materialize the binlog as ordered parquet chunk dirs — the file
     roll stands in for binlog rotation (pkg/cdc/mysql.go:480-491). Each
     chunk holds a contiguous op_sequence range so a file-source stream
     that lists chunks in name order replays in order; within a chunk,
     ``files_per_chunk`` files keep the downstream scan parallel (a
-    single fat file = a single input split = a serialized read)."""
+    single fat file = a single input split = a serialized read).
+
+    ``bucket_key`` = (key_col, n_buckets): producer-side BUCKET
+    ALIGNMENT — each chunk file holds only keys of one bucket residue
+    class (real CDC pipelines partition the feed by table/key the same
+    way). A bucket-aligned feed lets the map-only MoR merge
+    (merge_into dedup_how='none') write with ZERO exchanges and one
+    file per (input split, residue): the shuffle the dedup needed is
+    done once at capture time instead of once per consumer."""
     import os
+
+    from nebula_spark.lake.table import bucket_expr
 
     os.makedirs(out_dir, exist_ok=True)
     total = df.count()
@@ -212,7 +223,13 @@ def write_binlog_chunks(
     chunk = F.least(
         F.floor(F.col(seq_col) / F.lit(per)), F.lit(n_chunks - 1)
     ).cast("int")
-    subfile = F.pmod(F.col(seq_col), F.lit(files_per_chunk)).cast("int")
+    if bucket_key is not None:
+        key_col, n_buckets = bucket_key
+        subfile = F.pmod(
+            bucket_expr(key_col, n_buckets), F.lit(files_per_chunk)
+        ).cast("int")
+    else:
+        subfile = F.pmod(F.col(seq_col), F.lit(files_per_chunk)).cast("int")
     (
         df.withColumn("_chunk", chunk)
         .repartition(n_chunks * files_per_chunk, F.col("_chunk"), subfile)

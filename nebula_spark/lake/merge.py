@@ -385,6 +385,28 @@ def merge_into(
 
         fww = conflict == "first_write_wins"
         how = dedup_how
+        if how == "none":
+            # MAP-ONLY merge (MoR only): skip the in-batch dedup
+            # entirely — the read-time fold already resolves EVERY
+            # version of a key, so within-batch duplicates change
+            # nothing but appended bytes. What it buys at scale: the
+            # dedup exchange is the ONE all-to-all shuffle in the MoR
+            # write path, and on multi-executor topologies it moves the
+            # full token payload through serde+network (measured 3.2×
+            # cost at 4 executor JVMs, BENCH/BASELINE.md round 4). With
+            # it gone the whole merge is scan → project → partitioned
+            # write: zero exchanges, bytes never leave the executor
+            # that read them. Best used with a bucket-aligned change
+            # feed (write_binlog_chunks(bucket_key=...)) so each input
+            # split holds few buckets and the file count stays at one
+            # per (task, bucket).
+            if table.merge_mode != "mor":
+                raise ValueError(
+                    "dedup_how='none' (map-only merge) requires a "
+                    "merge-on-read table: copy-on-write resolution needs a "
+                    "key-unique batch"
+                )
+            how = None
         if how == "auto":
             # measured (BENCH/BASELINE.md round 2): for fat batches the
             # window dedup (partial+final WindowGroupLimit) leaves its
@@ -396,7 +418,7 @@ def merge_into(
             how = "window" if res.events_in >= big else "agg"
         deduped = (
             batch
-            if already_deduped
+            if already_deduped or how is None
             else lww_dedup(
                 batch, key=key, seq=seq_col, how=how, first_writer_wins=fww
             )

@@ -48,6 +48,7 @@ def run_stream(
     evolution_policy: str = "default",
     renames: dict[str, str] | None = None,
     conflict: str | None = None,
+    dedup_how: str = "auto",
     dlq_table: LakeTable | None = None,
     available_now: bool = True,
     schema=None,
@@ -116,6 +117,7 @@ def run_stream(
             evolution_policy=evolution_policy,
             renames=renames,
             conflict=conflict,
+            dedup_how=dedup_how,
             dlq_table=dlq_table,
         )
 

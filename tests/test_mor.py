@@ -334,3 +334,49 @@ def test_mor_fww_watermark_purge_guard(spark, tmp_path):
     # full purge after drain is allowed
     out = compact(spark, table, purge_all_tombstones=True)
     assert out["buckets"] > 0
+
+
+def test_mor_map_only_merge_matches_oracle(spark, tmp_path):
+    """dedup_how='none' (map-only merge): no in-batch dedup, no
+    exchange — the read fold resolves every appended version, so the
+    final state still matches the oracle, and a bucket-aligned feed
+    keeps the commit at ONE file per (input split, bucket residue)
+    (an exchange would scatter each bucket across every shuffle
+    partition — the file count is the plan evidence)."""
+    import os
+
+    from nebula_spark.cdc.binlog import write_binlog_chunks
+
+    table = _mor(tmp_path, "mo", buckets=8)
+    log = gen_binlog(spark, 6000, 300, seed=60)
+    binlog_dir = str(tmp_path / "b")
+    chunks = write_binlog_chunks(
+        log, binlog_dir, n_chunks=3, files_per_chunk=8, bucket_key=("doc_id", 8)
+    )
+    for i, c in enumerate(chunks):
+        res = merge_into(
+            spark, table, spark.read.parquet(c), epoch=i, dedup_how="none"
+        )
+        assert not res.skipped
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
+    total_files = sum(len(fs) for fs in table.snapshot().files.values())
+    assert total_files <= 3 * 8
+
+    # within-batch duplicate deliveries are absorbed by the fold:
+    # replaying a chunk UNIONED WITH ITSELF under a new epoch changes
+    # nothing in the final state
+    dup = spark.read.parquet(chunks[0])
+    merge_into(spark, table, dup.unionByName(dup), epoch=99, dedup_how="none")
+    assert_equivalent(table.read(spark), oracle)
+
+
+def test_mor_map_only_requires_mor(spark, tmp_path):
+    cow = LakeTable.create(
+        str(tmp_path / "cw"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        merge_into(
+            spark, cow, gen_binlog(spark, 100, 50, seed=61), epoch=0,
+            dedup_how="none",
+        )
