@@ -219,6 +219,45 @@ def _mor_fww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("user_id", "value_cents", "ts_us")
 
 
+def _mor_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only merge (dedup_how='none'): the changelog replays as raw
+    appends with NO in-batch dedup and NO shuffle — the MoR read fold
+    resolves every version. One half is even delivered TWICE (epoch 2
+    duplicates epoch 0's events under new epoch): the fold absorbs
+    duplicate deliveries, so the final state still equals plain LWW."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).select(
+        "op_sequence", "op", "user_id", "value_cents", "ts_us"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_maponly_")
+    table = LakeTable.create(
+        os.path.join(tmp, "t"),
+        schema,
+        "user_id",
+        n_buckets=8,
+        properties={"merge_mode": "mor"},
+    )
+    evens = cl.filter(F.col("op_sequence") % 2 == 0)
+    odds = cl.filter(F.col("op_sequence") % 2 == 1)
+    merge_into(spark, table, evens, epoch=0, dedup_how="none")
+    merge_into(spark, table, odds, epoch=1, dedup_how="none")
+    merge_into(spark, table, evens, epoch=2, dedup_how="none")  # duplicate delivery
+    return table.read(spark).select("user_id", "value_cents", "ts_us")
+
+
 def _replay_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay across a MID-STREAM bucket rescale (partition-spec
     evolution): half the changelog merges into a 4-bucket table, the
@@ -593,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_fww": _conflict_query("first_write_wins"),
         "cdc_replay_rescale": _replay_rescale,
         "cdc_mor_fww": _mor_fww,
+        "cdc_mor_maponly": _mor_maponly,
         "cdc_multi_table_route": _multi_table_route,
         "cdc_event_filter": _event_filter,
         "transform_chain": _transform_chain,
@@ -716,6 +756,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT bf.user_id, bf.bval AS value_cents, bf.bts AS ts_us
             FROM bf LEFT JOIN t ON bf.user_id = t.user_id
             WHERE t.user_id IS NULL AND bf.op <> 'DELETE'
+        """,
+        "cdc_mor_maponly": f"""
+            -- map-only appends + read-time LWW fold, duplicate delivery
+            -- absorbed: final state == plain LWW replay
+            SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
         """,
         "cdc_mor_fww": f"""
             -- merge-on-read FWW fold: each user's MIN-op_sequence event

@@ -86,3 +86,59 @@ def test_any_split_any_order_converges(spark, events, data):
 
     got = {r["k"]: r["v"] for r in table.read(spark).collect()}
     assert got == _python_lww(events)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=_events, data=st.data())
+def test_map_only_replay_converges_with_duplicates(spark, events, data):
+    """Map-only MoR (dedup_how='none'): for ANY log, ANY batch split,
+    ANY order, AND re-delivered (duplicated) batches under fresh
+    epochs, the read fold alone reaches the same LWW final state —
+    no in-batch dedup anywhere."""
+    n = len(events)
+    n_cuts = data.draw(st.integers(min_value=0, max_value=min(3, n - 1)))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=n - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+        if n > 1
+        else []
+    )
+    bounds = [0] + cuts + [n]
+    batches = [
+        [(seq, *events[seq]) for seq in range(lo, hi)]
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
+    order = list(data.draw(st.permutations(range(len(batches)))))
+    # duplicate one batch at the end under a fresh epoch
+    dup = data.draw(st.integers(min_value=0, max_value=len(batches) - 1))
+    deliveries = [(i, i) for i in order] + [(dup, len(batches))]
+
+    table = LakeTable.create(
+        tempfile.mkdtemp(prefix="nebula_prop_mo_") + "/t",
+        _SCHEMA,
+        "k",
+        n_buckets=2,
+        properties={"merge_mode": "mor"},
+    )
+    for src, epoch in deliveries:
+        rows = [
+            (seq, op, f"k{key}", None if op == "DELETE" else val)
+            for seq, op, key, val in batches[src]
+        ]
+        df = spark.createDataFrame(
+            rows, "op_sequence long, op string, k string, v long"
+        )
+        merge_into(spark, table, df, epoch=epoch, dedup_how="none")
+
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got == _python_lww(events)
