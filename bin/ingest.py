@@ -316,6 +316,11 @@ def cmd_show(args) -> dict:
             snap.applied.keys(),
             key=lambda e: (0, int(e), "") if e.lstrip("-").isdigit() else (1, 0, e),
         ),
+        # numeric epochs at/below this were folded out of the list
+        # above (manifest stays bounded; epoch_applied still covers
+        # them); None = nothing folded yet
+        "applied_watermark": snap.raw.get("applied_watermark"),
+        "merge_mode": table.merge_mode,
         "lineage_offsets": table.partition_offsets(),
     }
 

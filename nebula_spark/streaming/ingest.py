@@ -267,6 +267,8 @@ def run_multi_stream(
     schema=None,
     retry_max: int = 3,
     retry_backoff_s: float = 1.0,
+    adaptive_target_batch_s: float | None = None,
+    adaptive_max_trigger: int = 64,
 ) -> dict:
     """ONE binlog stream fanned out to N LakeTables by ``table_col`` —
     the reference tails many tables per connection and routes rows via
@@ -283,7 +285,12 @@ def run_multi_stream(
 
     Events whose ``table_col`` matches no route go to the DLQ
     (reason-stamped ``unrouted``) when one is configured, else are
-    dropped and counted."""
+    dropped and counted.
+
+    ``adaptive_target_batch_s``: same adaptive trigger sizing as
+    run_stream — the decision is made after EVERY route's table commit
+    landed, so the restart redelivers a batch in which each per-table
+    epoch manifest-skips (exactly-once per table preserved)."""
     from pyspark.sql import functions as F
 
     routes = {
@@ -296,8 +303,20 @@ def run_multi_stream(
         "events_unrouted": 0,
         "tables": {name: {"batches": 0, "skipped": 0, "events": 0} for name in routes},
     }
+    trigger_state = {
+        "cur": max_files_per_trigger,
+        "resizes": [],
+        "pending": False,
+    }
+    if adaptive_target_batch_s is not None and not available_now:
+        raise ValueError(
+            "adaptive trigger sizing resizes via availableNow restarts; "
+            "unsupported for a continuous stream"
+        )
 
     def apply_batch(batch_df, batch_id: int):
+        t_batch = time.time()
+        applied_any = False
         attempt = 0
         while True:
             batch_df.persist()
@@ -362,8 +381,9 @@ def run_multi_stream(
                         m["skipped"] += 1
                     else:
                         m["events"] += res.merge.events_in
+                        applied_any = True
                 metrics["batches"] += 1
-                return
+                break
             except Exception:
                 attempt += 1
                 if attempt > retry_max:
@@ -372,27 +392,61 @@ def run_multi_stream(
                 time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
             finally:
                 batch_df.unpersist()
+        if adaptive_target_batch_s is not None and applied_any:
+            # after EVERY route committed: a resize raise makes the
+            # restart redeliver this batch as N per-table manifest skips
+            dt = time.time() - t_batch
+            cur = trigger_state["cur"]
+            new = cur
+            if dt > 1.5 * adaptive_target_batch_s and cur > 1:
+                new = max(1, cur // 2)
+            elif dt < 0.5 * adaptive_target_batch_s and cur < adaptive_max_trigger:
+                new = min(adaptive_max_trigger, cur * 2)
+            if new != cur:
+                trigger_state["cur"] = new
+                trigger_state["pending"] = True
+                trigger_state["resizes"].append(
+                    {"batch": batch_id, "from": cur, "to": new,
+                     "batch_s": round(dt, 3)}
+                )
+                raise _TriggerResize
 
-    reader = (
-        spark.readStream.schema(schema or MULTI_BINLOG_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("recursiveFileLookup", "true")
-        .parquet(binlog_dir)
-    )
-    writer = reader.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    def build_writer():
+        reader = (
+            spark.readStream.schema(schema or MULTI_BINLOG_SCHEMA)
+            .option("maxFilesPerTrigger", trigger_state["cur"])
+            .option("recursiveFileLookup", "true")
+            .parquet(binlog_dir)
+        )
+        return reader.writeStream.foreachBatch(apply_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+
     t0 = time.time()
     if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        while True:
+            q = build_writer().trigger(availableNow=True).start()
+            try:
+                q.awaitTermination()
+                break
+            except Exception:
+                if not trigger_state["pending"]:
+                    raise
+                trigger_state["pending"] = False  # restart with new size
     else:
-        q = writer.start()
+        q = build_writer().start()
         return {"query_id": str(q.id)}
     dt = time.time() - t0
     total_events = sum(m["events"] for m in metrics["tables"].values())
+    out_extra = (
+        {"trigger_resizes": trigger_state["resizes"],
+         "final_trigger": trigger_state["cur"]}
+        if adaptive_target_batch_s is not None
+        else {}
+    )
     return {
         **metrics,
+        **out_extra,
         "seconds": round(dt, 2),
         "events": total_events,
         "events_per_sec": round(total_events / dt, 1) if dt > 0 else None,

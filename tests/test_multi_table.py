@@ -210,3 +210,35 @@ def test_multi_stream_shared_dlq_no_epoch_collision(spark, tmp_path):
             ),
         )
         assert_equivalent(routes[name].table.read(spark), oracle)
+
+
+def test_multi_stream_adaptive_trigger(spark, tmp_path):
+    """Adaptive trigger sizing on the fan-out stream: the resize raise
+    comes after EVERY route's commit, so the redelivered batch is N
+    per-table manifest skips and both tables stay oracle-exact."""
+    binlog_dir = str(tmp_path / "binlog")
+    log = _multi_binlog(spark, 4000, seed=39)
+    write_binlog_chunks(log, binlog_dir, n_chunks=6, files_per_chunk=1)
+    routes = {
+        name: TableRoute(
+            table=LakeTable.create(
+                str(tmp_path / name), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+            )
+        )
+        for name in ("users", "orders")
+    }
+    m = run_multi_stream(
+        spark,
+        routes,
+        binlog_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=log.schema,
+        max_files_per_trigger=4,
+        adaptive_target_batch_s=0.001,  # unreachable: every batch "slow"
+    )
+    assert m["final_trigger"] == 1
+    assert [(r["from"], r["to"]) for r in m["trigger_resizes"]] == [(4, 2), (2, 1)]
+    glob = os.path.join(binlog_dir, "*", "*.parquet")
+    for name in ("users", "orders"):
+        oracle = replay_final_state(glob, where=f"source_table = '{name}'")
+        assert_equivalent(routes[name].table.read(spark), oracle)
