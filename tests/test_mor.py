@@ -380,3 +380,36 @@ def test_mor_map_only_requires_mor(spark, tmp_path):
             spark, cow, gen_binlog(spark, 100, 50, seed=61), epoch=0,
             dedup_how="none",
         )
+
+
+def test_mor_map_only_stream_with_auto_compaction(spark, tmp_path):
+    """Map-only appends more row versions than the deduped path, so
+    in-stream compaction matters more: a multi-batch stream with
+    auto_compact_files keeps per-bucket file counts bounded AND the
+    final state oracle-exact (compaction folds what dedup never
+    collapsed)."""
+    import os
+
+    from nebula_spark.cdc.binlog import write_binlog_chunks
+    from nebula_spark.streaming.ingest import run_stream
+
+    binlog_dir = str(tmp_path / "b")
+    log = gen_binlog(spark, 8000, 250, seed=63)
+    write_binlog_chunks(
+        log, binlog_dir, n_chunks=8, files_per_chunk=4, bucket_key=("doc_id", 4)
+    )
+    table = _mor(tmp_path, "ms", buckets=4)
+    m = run_stream(
+        spark,
+        table,
+        binlog_dir,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        dedup_how="none",
+        auto_compact_files=4,
+    )
+    # 8 chunks x 4 aligned files, one FILE per trigger -> ~32 batches
+    assert m["batches"] >= 8 and m.get("compactions", 0) >= 1
+    assert all(len(fs) <= 5 for fs in table.snapshot().files.values())
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)

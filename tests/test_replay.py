@@ -228,3 +228,37 @@ def test_applied_epoch_manifest_folds_bounded(spark, tmp_path):
     got = sorted((tuple(r) for r in table.read(spark).collect()), key=repr)
     want = sorted((tuple(r) for r in ref.read(spark).collect()), key=repr)
     assert got == want and got
+
+
+def test_manifest_json_stays_bounded_over_many_commits(tmp_path):
+    """Pure-metadata loop (no Spark jobs): 300 merge-empty commits on a
+    table with max_applied_epochs=32 — the snapshot JSON must stay
+    O(limit), not O(epochs). This is the 10^4-batch stream guarantee."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake import LakeTable
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False)])
+    table = LakeTable.create(
+        str(tmp_path / "t"), schema, "k", n_buckets=4,
+        properties={"max_applied_epochs": 32},
+    )
+    for e in range(300):
+        table.commit(
+            applied_update={str(e): {"partitions": {"0": e * 10}, "events": 0}},
+            summary={"operation": "merge-empty", "epoch": e},
+        )
+    snap = table.snapshot()
+    assert len(snap.applied) <= 33  # limit + the entry that tipped it
+    assert snap.applied_watermark >= 250
+    sizes = [
+        os.path.getsize(table._meta("snap-%012d.json" % v))
+        for v in (50, 150, 299)
+    ]
+    # flat, not linear in epoch count (allow slack for integer widths)
+    assert max(sizes) < 1.2 * min(sizes)
+    assert all(table.epoch_applied(e) for e in range(300))
+    assert table.partition_offsets() == {"0": 2990}
