@@ -205,14 +205,15 @@ def evolve_schema(
         if widens_to(f.dataType, b.dataType) and not isinstance(b.dataType, T.StringType):
             if policy == "strict":
                 raise ValueError(f"strict policy: type change on {f.name}")
-            out.append(T.StructField(f.name, b.dataType, True))
+            # keep field metadata (e.g. initial_default) through widening
+            out.append(T.StructField(f.name, b.dataType, True, f.metadata))
             changes.append(
                 SchemaChange(MODIFY_TYPE, f.name, _tname(f.dataType), _tname(b.dataType))
             )
         elif widens_to(b.dataType, f.dataType):
             out.append(f)  # batch narrower than table: cast up on align
         elif policy == "flexible":
-            out.append(T.StructField(f.name, T.StringType(), True))
+            out.append(T.StructField(f.name, T.StringType(), True, f.metadata))
             changes.append(
                 SchemaChange(MODIFY_TYPE, f.name, _tname(f.dataType), "string")
             )

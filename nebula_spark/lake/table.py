@@ -532,6 +532,47 @@ class LakeTable:
 
     # ---------- data path ----------
 
+    def add_column(
+        self,
+        name: str,
+        data_type,
+        default=None,
+        comment: str | None = None,
+    ) -> Snapshot:
+        """ALTER TABLE ADD COLUMN with an optional INITIAL DEFAULT —
+        the reference's add-with-default migration
+        (/root/reference/pkg/schema/migration.go:49-233 AddField with
+        Default) as Iceberg's initial-default semantics: rows written
+        BEFORE the column existed read the default (applied at scan
+        time from field metadata — history is never rewritten); rows
+        written after store whatever their batch carries (null when
+        absent). ``data_type`` is a DataType or a DDL string
+        ('string', 'array<int>', ...)."""
+        if isinstance(data_type, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            data_type = _parse_datatype_string(data_type)
+        if name in self.schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        meta: dict = {}
+        if default is not None:
+            meta["initial_default"] = default
+        if comment:
+            meta["comment"] = comment
+        field = T.StructField(name, data_type, True, meta)
+        new_schema = T.StructType(
+            list(self.user_schema.fields) + [field] + INTERNAL_FIELDS
+        )
+        return self.commit(
+            new_schema=new_schema,
+            summary={
+                "operation": "add-column",
+                "column": name,
+                "type": data_type.simpleString(),
+                "default": default,
+            },
+        )
+
     def new_commit_dir(self) -> str:
         """A unique directory for this commit's data files (immutable once
         written; unreferenced dirs from failed commits are inert)."""
@@ -693,7 +734,9 @@ class LakeTable:
                 }
                 if to_rename:
                     df = df.withColumnsRenamed(to_rename)
-                parts.append(align_to_schema(df, cur_schema))
+                parts.append(
+                    align_to_schema(df, cur_schema, use_initial_defaults=True)
+                )
             if not parts:
                 return None
             out = parts[0]
@@ -755,11 +798,22 @@ class LakeTable:
         return df.withColumn("_bucket", bucket_expr(self.key_col, self.n_buckets))
 
 
-def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+def align_to_schema(
+    df: DataFrame, target: T.StructType, use_initial_defaults: bool = False
+) -> DataFrame:
     """Project ``df`` onto ``target``: missing columns become typed
     nulls, present columns are cast (covers int→long / float→double
     widening). Column-name matching is exact (the engine controls both
-    sides)."""
+    sides).
+
+    ``use_initial_defaults``: a missing column whose target field
+    carries ``initial_default`` metadata (set by
+    :meth:`LakeTable.add_column`) fills with that value instead of
+    null — Iceberg's initial-default semantics, applied ONLY on the
+    read path for files written before the column existed (incoming
+    batches are current-generation and keep plain nulls, so a post-DDL
+    row that omits the column stores null, exactly like Iceberg's
+    write-default-less ADD COLUMN)."""
     have = {f.name: f for f in df.schema.fields}
     cols = []
     for f in target.fields:
@@ -769,5 +823,8 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
             else:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            fill = None
+            if use_initial_defaults and f.metadata:
+                fill = f.metadata.get("initial_default")
+            cols.append(F.lit(fill).cast(f.dataType).alias(f.name))
     return df.select(*cols)

@@ -284,3 +284,77 @@ def test_transitive_compat_checks_full_history(spark, tmp_path):
     # adding a nullable column is clean under every transitive mode
     plus = T.StructType(list(hist[1].fields) + [T.StructField("extra", T.StringType(), True)])
     assert not check_compatibility_with_history(hist, plus, "BACKWARD_TRANSITIVE")
+
+
+def test_add_column_with_initial_default(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN ... DEFAULT (ref migration.go AddField
+    with Default; Iceberg initial-default): pre-DDL rows read the
+    default at scan time (history not rewritten), post-DDL rows store
+    what their batch carries — null when absent, NOT the default."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.cdc import gen_binlog
+    from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+    from nebula_spark.lake import LakeTable, merge_into
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+    )
+    old = gen_binlog(spark, 800, 120, seed=150).filter(F.col("op") != "DELETE")
+    merge_into(spark, table, old, epoch=0)
+    pre_ids = {r["doc_id"] for r in table.read(spark).collect()}
+
+    snap = table.add_column("lang", "string", default="en")
+    assert snap.schema_version == 2
+    # every pre-DDL row reads the default
+    assert (
+        table.read(spark).filter(F.col("lang") == "en").count() == len(pre_ids)
+    )
+
+    # post-DDL batch WITH the column: stored values win
+    with_lang = (
+        gen_binlog(spark, 300, 120, seed=151)
+        .filter(F.col("op") != "DELETE")
+        .withColumn("op_sequence", F.col("op_sequence") + 10_000)
+        .withColumn("doc_id", F.concat(F.lit("L-"), F.col("doc_id")))
+        .withColumn("lang", F.lit("de"))
+    )
+    merge_into(spark, table, with_lang, epoch=1)
+    got = table.read(spark)
+    assert got.filter(F.col("doc_id").startswith("L-")).filter(
+        F.col("lang") == "de"
+    ).count() == got.filter(F.col("doc_id").startswith("L-")).count()
+
+    # post-DDL batch WITHOUT the column: null, not the default
+    no_lang = (
+        gen_binlog(spark, 200, 120, seed=152)
+        .filter(F.col("op") != "DELETE")
+        .withColumn("op_sequence", F.col("op_sequence") + 20_000)
+        .withColumn("doc_id", F.concat(F.lit("N-"), F.col("doc_id")))
+    )
+    merge_into(spark, table, no_lang, epoch=2)
+    got = table.read(spark)
+    n_rows = got.filter(F.col("doc_id").startswith("N-"))
+    assert n_rows.filter(F.col("lang").isNull()).count() == n_rows.count()
+    # pre-DDL rows still read the default after later commits
+    untouched = got.filter(
+        ~F.col("doc_id").startswith("L-") & ~F.col("doc_id").startswith("N-")
+    )
+    assert untouched.filter(F.col("lang") == "en").count() > 0
+    assert untouched.filter(F.col("lang").isNull()).count() == 0
+
+    # the default survives a later widening evolution of ANOTHER column
+    from nebula_spark.evolution import evolve_schema
+
+    new_user, _ = evolve_schema(
+        table.user_schema,
+        table.user_schema,  # no-op diff keeps every field
+    )
+    f = next(x for x in new_user.fields if x.name == "lang")
+    assert f.metadata.get("initial_default") == "en"
+
+    # duplicate add refused
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_column("lang", "string")
