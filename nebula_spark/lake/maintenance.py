@@ -136,6 +136,92 @@ def rescale(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> dict:
     }
 
 
+def migrate_column(
+    spark: SparkSession,
+    table: LakeTable,
+    column: str,
+    new_type,
+    strict: bool = False,
+) -> dict:
+    """Non-widening column type migration — the reference's
+    converter-registry modify-type (pkg/schema/migration.go:256-370,
+    string↔int/float/bool/timestamp). Widenings (int→long,
+    float→double) never need this: the engine's schema-versioned file
+    groups cast them on read. Anything else (string→int, long→int,
+    …) cannot be expressed as cast-on-read safely, so this is an
+    EXPLICIT one-shot rewrite: read the whole table, convert the
+    column (``try_cast`` by default — unconvertible values become
+    null; ``strict=True`` uses ``cast`` and fails the job on bad
+    values... for numeric→numeric Spark cast truncates, so strict
+    mainly matters for string parsing), write back under a bumped
+    schema. Same atomicity + concurrency posture as rescale: pinned
+    base_version, full replace, losers conflict cleanly."""
+    from pyspark.sql import functions as F, types as T
+
+    if isinstance(new_type, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        new_type = _parse_datatype_string(new_type)
+    t0 = time.time()
+    snap = table.snapshot()
+    user = table.user_schema
+    if column not in user.fieldNames():
+        raise ValueError(f"no such column {column!r}")
+    if column == table.key_col:
+        raise ValueError("cannot migrate the merge key's type")
+    old_field = next(f for f in user.fields if f.name == column)
+    if old_field.dataType == new_type:
+        return {"migrated": False, "version": snap.version}
+
+    df = table.read(spark, version=snap.version, include_internal=True)
+    conv = (
+        F.col(column).cast(new_type)
+        if strict
+        else F.try_cast(F.col(column), new_type)
+        if hasattr(F, "try_cast")
+        else F.expr(f"try_cast({column} as {new_type.simpleString()})")
+    )
+    df = df.withColumn(column, conv)
+    from nebula_spark.lake.table import INTERNAL_FIELDS, bucket_expr
+
+    df = df.withColumn(
+        "_bucket", bucket_expr(table.key_col, snap.raw["n_buckets"])
+    )
+
+    new_user = T.StructType(
+        [
+            T.StructField(f.name, new_type, True, f.metadata)
+            if f.name == column
+            else f
+            for f in user.fields
+        ]
+    )
+    commit_dir = table.new_commit_dir()
+    df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
+        commit_dir
+    )
+    new_files = LakeTable.list_written_files(commit_dir)
+    new_snap = table.commit(
+        new_files_by_bucket=new_files,
+        replaced_buckets=sorted(snap.files.keys()),
+        new_schema=T.StructType(list(new_user.fields) + INTERNAL_FIELDS),
+        expect_n_buckets=snap.raw["n_buckets"],
+        base_version=snap.version,
+        summary={
+            "operation": "migrate-column",
+            "column": column,
+            "to_type": new_type.simpleString(),
+        },
+    )
+    return {
+        "migrated": True,
+        "column": column,
+        "to_type": new_type.simpleString(),
+        "version": new_snap.version,
+        "seconds": round(time.time() - t0, 2),
+    }
+
+
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> int:
     """Delete snapshot JSONs (and data files referenced by no retained
     snapshot) older than the last ``keep_last`` — Iceberg's

@@ -358,3 +358,60 @@ def test_add_column_with_initial_default(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already exists"):
         table.add_column("lang", "string")
+
+
+def test_migrate_column_non_widening(spark, tmp_path):
+    """Converter-registry modify-type parity (migration.go:256-370):
+    a non-widening change (string source -> int where parseable) runs
+    as an explicit one-shot rewrite; unconvertible values null out
+    under try_cast; later merges write the new type."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nebula_spark.cdc import gen_binlog
+    from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA
+    from nebula_spark.lake import LakeTable, merge_into
+    from nebula_spark.lake.maintenance import migrate_column
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+    )
+    batch = gen_binlog(spark, 600, 100, seed=160).filter(F.col("op") != "DELETE")
+    # 'source' is web/books/code/wiki strings; make half numeric-strings
+    batch = batch.withColumn(
+        "source",
+        F.when(F.pmod(F.col("op_sequence"), 2) == 0, F.lit("7")).otherwise(
+            F.col("source")
+        ),
+    )
+    merge_into(spark, table, batch, epoch=0)
+    n_numeric = table.read(spark).filter(F.col("source") == "7").count()
+    n_total = table.read(spark).count()
+    assert 0 < n_numeric < n_total
+
+    with pytest.raises(ValueError, match="merge key"):
+        migrate_column(spark, table, "doc_id", "int")
+
+    out = migrate_column(spark, table, "source", "int")
+    assert out["migrated"] and out["to_type"] == "int"
+    got = table.read(spark)
+    f = next(x for x in table.user_schema.fields if x.name == "source")
+    assert f.dataType.simpleString() == "int"
+    assert got.filter(F.col("source") == 7).count() == n_numeric
+    assert got.filter(F.col("source").isNull()).count() == n_total - n_numeric
+    assert got.count() == n_total
+
+    # later merges align onto the new type (numeric strings cast up)
+    more = (
+        gen_binlog(spark, 100, 100, seed=161)
+        .filter(F.col("op") != "DELETE")
+        .withColumn("op_sequence", F.col("op_sequence") + 10_000)
+        .withColumn("doc_id", F.concat(F.lit("M-"), F.col("doc_id")))
+        .withColumn("source", F.lit("42"))
+    )
+    merge_into(spark, table, more, epoch=1)
+    m = table.read(spark).filter(F.col("doc_id").startswith("M-"))
+    assert m.filter(F.col("source") == 42).count() == m.count()
+
+    # no-op migration short-circuits
+    assert migrate_column(spark, table, "source", "int")["migrated"] is False

@@ -174,3 +174,44 @@ def test_incremental_diff_across_rescale_falls_back(spark, tmp_path):
     got = {r["doc_id"] for r in diff.collect()}
     want = {r["doc_id"] for r in batch.select("doc_id").distinct().collect()}
     assert got == want
+
+
+def test_stream_rescale_resume_roundtrip(spark, tmp_path):
+    """Operational rescale on a STREAMING table: drain half the backlog,
+    rescale while the stream is stopped, resume from the SAME
+    checkpoint — post-rescale merges pick up the new layout, epochs
+    survive, final state matches the oracle."""
+    import os
+
+    from nebula_spark.cdc.binlog import write_binlog_chunks
+    from nebula_spark.streaming.ingest import run_stream
+
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 6000, 250, seed=171)
+    chunks = write_binlog_chunks(log, binlog_dir, n_chunks=6, files_per_chunk=1)
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for c in chunks[:3]:
+        os.symlink(c, os.path.join(staged, os.path.basename(c)))
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_stream(spark, table, staged, checkpoint_dir=ckpt, max_files_per_trigger=1)
+
+    out = rescale(spark, table, 16)
+    assert out["rescaled"] and table.n_buckets == 16
+
+    for c in chunks[3:]:
+        os.symlink(c, os.path.join(staged, os.path.basename(c)))
+    m2 = run_stream(spark, table, staged, checkpoint_dir=ckpt, max_files_per_trigger=1)
+    assert m2["skipped"] == 0 and m2["batches"] == 3
+
+    from tests.oracle import assert_equivalent, replay_final_state
+
+    assert_equivalent(
+        table.read(spark),
+        replay_final_state(os.path.join(binlog_dir, "*", "*.parquet")),
+    )
+    assert set(table.snapshot().files) <= set(range(16))
