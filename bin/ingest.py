@@ -236,6 +236,47 @@ def cmd_compact(args) -> dict:
     return out
 
 
+def cmd_rescale(args) -> dict:
+    """Atomic bucket-count change on a live table (partition-spec
+    evolution): a table created small re-buckets to the count its size
+    now demands; losers of any concurrent-writer race conflict cleanly
+    and retry."""
+    from nebula_spark.lake import LakeTable
+    from nebula_spark.lake.maintenance import rescale
+
+    spark = get_spark("nebula-rescale", parallelism=args.cpus)
+    return rescale(spark, LakeTable.load(args.table), args.buckets)
+
+
+def cmd_alter(args) -> dict:
+    """Schema DDL: --add-column name:type[:default] appends a nullable
+    column whose default fills rows written BEFORE it existed
+    (initial-default, read-time); --migrate-column name:type runs the
+    explicit non-widening type rewrite (try_cast; unconvertible ->
+    null)."""
+    from nebula_spark.lake import LakeTable
+
+    table = LakeTable.load(args.table)
+    if args.add_column:
+        parts = args.add_column.split(":", 2)
+        name, dtype = parts[0], parts[1]
+        default = parts[2] if len(parts) > 2 else None
+        snap = table.add_column(name, dtype, default=default)
+        return {
+            "added": name,
+            "type": dtype,
+            "default": default,
+            "version": snap.version,
+        }
+    if args.migrate_column:
+        from nebula_spark.lake.maintenance import migrate_column
+
+        name, dtype = args.migrate_column.split(":", 1)
+        spark = get_spark("nebula-alter", parallelism=args.cpus)
+        return migrate_column(spark, table, name, dtype, strict=args.strict)
+    raise SystemExit("alter needs --add-column or --migrate-column")
+
+
 def cmd_reprocess(args) -> dict:
     """Replay dead-lettered events back into the target table (the
     operational return path of the retry->DLQ loop): select live DLQ
@@ -425,6 +466,18 @@ def main(argv=None):
     rp.add_argument("--reasons", default="failed-")
     rp.add_argument("--conflict", default=None)
     rp.set_defaults(fn=cmd_reprocess)
+
+    rs = sub.add_parser("rescale")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--buckets", type=int, required=True)
+    rs.set_defaults(fn=cmd_rescale)
+
+    al = sub.add_parser("alter")
+    al.add_argument("--table", required=True)
+    al.add_argument("--add-column", default=None, metavar="NAME:TYPE[:DEFAULT]")
+    al.add_argument("--migrate-column", default=None, metavar="NAME:TYPE")
+    al.add_argument("--strict", action="store_true")
+    al.set_defaults(fn=cmd_alter)
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)

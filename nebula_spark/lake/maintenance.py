@@ -159,9 +159,9 @@ def migrate_column(
     from pyspark.sql import functions as F, types as T
 
     if isinstance(new_type, str):
-        from pyspark.sql.types import _parse_datatype_string
+        from nebula_spark.lake.table import type_from_ddl
 
-        new_type = _parse_datatype_string(new_type)
+        new_type = type_from_ddl(new_type)
     t0 = time.time()
     snap = table.snapshot()
     user = table.user_schema

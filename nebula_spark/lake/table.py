@@ -54,6 +54,28 @@ HEAD_FILE = "HEAD"
 SNAP_FMT = "snap-%012d.json"
 
 
+def type_from_ddl(ddl: str) -> T.DataType:
+    """Session-free DDL type parser for the handful of types the engine
+    stores (Spark's _parse_datatype_string needs a live SparkSession —
+    wrong for metadata-only DDL like add_column)."""
+    s = ddl.strip().lower()
+    if s.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(type_from_ddl(s[6:-1]))
+    atomic = {
+        "string": T.StringType(), "int": T.IntegerType(),
+        "integer": T.IntegerType(), "long": T.LongType(),
+        "bigint": T.LongType(), "short": T.ShortType(),
+        "smallint": T.ShortType(), "byte": T.ByteType(),
+        "tinyint": T.ByteType(), "float": T.FloatType(),
+        "double": T.DoubleType(), "boolean": T.BooleanType(),
+        "date": T.DateType(), "timestamp": T.TimestampType(),
+        "binary": T.BinaryType(),
+    }
+    if s in atomic:
+        return atomic[s]
+    raise ValueError(f"unsupported type DDL {ddl!r}; pass a DataType")
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic bucket id for a key, mirroring Iceberg's bucket
     transform. Uses Spark's Murmur3 `hash` — the SAME function
@@ -549,9 +571,7 @@ class LakeTable:
         absent). ``data_type`` is a DataType or a DDL string
         ('string', 'array<int>', ...)."""
         if isinstance(data_type, str):
-            from pyspark.sql.types import _parse_datatype_string
-
-            data_type = _parse_datatype_string(data_type)
+            data_type = type_from_ddl(data_type)
         if name in self.schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
         meta: dict = {}
