@@ -224,7 +224,13 @@ def _mor_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends with NO in-batch dedup and NO shuffle — the MoR read fold
     resolves every version. One half is even delivered TWICE (epoch 2
     duplicates epoch 0's events under new epoch): the fold absorbs
-    duplicate deliveries, so the final state still equals plain LWW."""
+    duplicate deliveries, so the final state still equals plain LWW.
+
+    Two reads are returned (tagged ``phase``): 'mid' after the FIRST
+    merge — the epoch-0 batch is coalesced to one input partition, so
+    every bucket holds exactly ONE non-key-unique map-only file, the
+    shape whose fold-skip the round-4 judge proved unsound — and
+    'final' after all three. Both must fold to their LWW oracles."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -252,10 +258,20 @@ def _mor_maponly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     evens = cl.filter(F.col("op_sequence") % 2 == 0)
     odds = cl.filter(F.col("op_sequence") % 2 == 1)
-    merge_into(spark, table, evens, epoch=0, dedup_how="none")
+    merge_into(spark, table, evens.coalesce(1), epoch=0, dedup_how="none")
+    mid = (
+        table.read(spark)
+        .select("user_id", "value_cents", "ts_us")
+        .withColumn("phase", F.lit("mid"))
+    )
     merge_into(spark, table, odds, epoch=1, dedup_how="none")
     merge_into(spark, table, evens, epoch=2, dedup_how="none")  # duplicate delivery
-    return table.read(spark).select("user_id", "value_cents", "ts_us")
+    final = (
+        table.read(spark)
+        .select("user_id", "value_cents", "ts_us")
+        .withColumn("phase", F.lit("final"))
+    )
+    return mid.unionByName(final)
 
 
 def _replay_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,8 +775,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_mor_maponly": f"""
             -- map-only appends + read-time LWW fold, duplicate delivery
-            -- absorbed: final state == plain LWW replay
-            SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
+            -- absorbed. 'mid' = read after ONE merge of the even-seq
+            -- half (single non-key-unique file per bucket — the fold
+            -- must still run); 'final' = all deliveries == plain LWW
+            WITH cl AS ({_CHANGELOG_SQL})
+            SELECT user_id, value_cents, ts_us, 'mid' AS phase FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY op_sequence DESC) rn
+              FROM cl WHERE op_sequence % 2 = 0
+            ) WHERE rn = 1 AND op <> 'DELETE'
+            UNION ALL
+            SELECT user_id, value_cents, ts_us, 'final' AS phase FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY op_sequence DESC) rn
+              FROM cl
+            ) WHERE rn = 1 AND op <> 'DELETE'
         """,
         "cdc_mor_fww": f"""
             -- merge-on-read FWW fold: each user's MIN-op_sequence event

@@ -444,7 +444,12 @@ def merge_into(
             rows = table.bucket_of(_as_table_rows(deduped, table, op_col, seq_col))
             commit_dir = table.new_commit_dir()
             rows.write.partitionBy("_bucket").mode("append").parquet(commit_dir)
-            new_files = LakeTable.list_written_files(commit_dir)
+            # map-only appends (dedup skipped, caller did not pre-dedup)
+            # write files that may hold several versions of a key — mark
+            # them so the read fold never plain-scans them
+            new_files = LakeTable.list_written_files(
+                commit_dir, key_unique=already_deduped or how is not None
+            )
             snap = table.commit(
                 new_files_by_bucket=new_files,
                 applied_update=applied_update,

@@ -445,24 +445,31 @@ class LakeTable:
         for b in replaced_buckets:
             files.pop(int(b), None)
         for b, paths in (new_files_by_bucket or {}).items():
-            normalized = [
-                p + (None, None) * ((4 - len(p)) // 2)
-                if isinstance(p, tuple)
-                else (p, 0, None, None)
-                for p in paths
-            ]
-            entries = [
-                {
+            normalized = []
+            for p in paths:
+                if not isinstance(p, tuple):
+                    p = (p, 0)
+                # pad to (path, size, min_seq, max_seq, key_unique);
+                # legacy short tuples default to key_unique=True (every
+                # pre-flag write path deduped before writing)
+                p = p + (None, None, True)[len(p) - 2 :]
+                normalized.append(p)
+            entries = []
+            for p, sz, mn, mx, ku in sorted(
+                normalized, key=lambda t: (t[0], t[1])
+            ):
+                e = {
                     "path": p,
                     "schema_version": sv,
                     "size": sz,
                     "min_seq": mn,
                     "max_seq": mx,
                 }
-                for p, sz, mn, mx in sorted(
-                    normalized, key=lambda t: (t[0], t[1])
-                )
-            ]
+                if not ku:
+                    # stored only when False: absent == key-unique,
+                    # keeping old snapshots readable and the JSON small
+                    e["key_unique"] = False
+                entries.append(e)
             files.setdefault(int(b), [])
             files[int(b)] = files[int(b)] + entries
         # files whose LAST reference dies with this commit's parent —
@@ -634,13 +641,23 @@ class LakeTable:
     @staticmethod
     def list_written_files(
         commit_dir: str,
-    ) -> dict[int, list[tuple[str, int, int | None, int | None]]]:
+        key_unique: bool = True,
+    ) -> dict[int, list[tuple[str, int, int | None, int | None, bool]]]:
         """Collect parquet files written by ``partitionBy('_bucket')``
         under ``commit_dir`` → {bucket: [(abs path, bytes, min_seq,
-        max_seq)]}. The _seq span per file powers metadata-only pruning
-        (incremental reads skip files wholly below a lineage low-water
-        mark without opening them)."""
-        out: dict[int, list[tuple[str, int, int | None, int | None]]] = {}
+        max_seq, key_unique)]}. The _seq span per file powers
+        metadata-only pruning (incremental reads skip files wholly
+        below a lineage low-water mark without opening them).
+
+        ``key_unique``: whether the writer guarantees at most one row
+        version per key inside each file. True for every deduped write
+        path (merge with in-batch dedup, compaction, rescale,
+        migration — all fold per key before writing); the map-only
+        merge (``dedup_how='none'``) passes False because it appends
+        the raw batch, which may carry several versions of a key in
+        one task's output file. The MoR read fold keys its plain-scan
+        shortcut on this flag."""
+        out: dict[int, list[tuple[str, int, int | None, int | None, bool]]] = {}
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
                 continue
@@ -652,7 +669,7 @@ class LakeTable:
                     continue
                 p = os.path.join(d, f)
                 mn, mx = LakeTable._seq_stats(p)
-                paths.append((p, os.path.getsize(p), mn, mx))
+                paths.append((p, os.path.getsize(p), mn, mx, bool(key_unique)))
             if paths:
                 out[b] = paths
         return out
@@ -695,13 +712,18 @@ class LakeTable:
         never be the fold winner above it); refused on FWW tables,
         where the MIN fold's winner may live below any floor.
 
-        MoR fold skip: a bucket whose live file list is a single file
-        holds at most one row version per key — every engine write path
-        commits key-unique files (merges dedup per key before writing;
-        compaction/rescale fold; bootstrap input is key-unique by
-        contract) — so its read is a plain scan, no aggregation and no
-        shuffle. After compaction that is every bucket: a fully
-        compacted MoR table reads exactly like a CoW one."""
+        MoR fold skip: a bucket whose live file list is a single
+        PROVABLY key-unique file holds at most one row version per
+        key, so its read is a plain scan — no aggregation and no
+        shuffle. Key-uniqueness is a per-file manifest flag recorded at
+        commit time: True for deduped merges, compaction, rescale,
+        migration and bootstrap (all fold or receive key-unique input),
+        False for map-only (``dedup_how='none'``) appends, whose files
+        can hold several versions of a key. A bucket containing ANY
+        non-key-unique file runs the fold even if that file is its
+        only one. After compaction every bucket is a single key-unique
+        file: a fully compacted MoR table reads exactly like a CoW
+        one."""
         snap = self.snapshot(version)
         cur_schema = snap.schema
         mor = self.merge_mode == "mor"
@@ -767,11 +789,19 @@ class LakeTable:
         if not mor:
             out = scan([e for es in selected.values() for e in es])
         else:
+            def _plain_ok(es: list[dict]) -> bool:
+                # plain scan only when the bucket is one file AND that
+                # file is provably key-unique — a lone map-only append
+                # still holds multiple versions per key and must fold
+                return len(es) == 1 and all(
+                    e.get("key_unique", True) for e in es
+                )
+
             fold_entries = [
-                e for es in selected.values() if len(es) > 1 for e in es
+                e for es in selected.values() if not _plain_ok(es) for e in es
             ]
             plain_entries = [
-                e for es in selected.values() if len(es) == 1 for e in es
+                e for es in selected.values() if _plain_ok(es) for e in es
             ]
             folded = scan(fold_entries)
             if folded is not None:

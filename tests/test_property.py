@@ -42,6 +42,15 @@ def _python_lww(events):
     }
 
 
+def _python_lww_partial(delivered):
+    """LWW oracle over an arbitrary (possibly duplicated) subset of
+    (seq, op, key, val) deliveries — max-seq wins per key."""
+    last = {}
+    for seq, op, key, val in sorted(delivered):
+        last[key] = (op, val)
+    return {f"k{key}": val for key, (op, val) in last.items() if op != "DELETE"}
+
+
 @settings(
     max_examples=8,
     deadline=None,
@@ -130,6 +139,7 @@ def test_map_only_replay_converges_with_duplicates(spark, events, data):
         n_buckets=2,
         properties={"merge_mode": "mor"},
     )
+    delivered = []
     for src, epoch in deliveries:
         rows = [
             (seq, op, f"k{key}", None if op == "DELETE" else val)
@@ -139,6 +149,15 @@ def test_map_only_replay_converges_with_duplicates(spark, events, data):
             rows, "op_sequence long, op string, k string, v long"
         )
         merge_into(spark, table, df, epoch=epoch, dedup_how="none")
+        delivered.extend(batches[src])
+        # read after EVERY delivery (incl. the first, where buckets can
+        # be single map-only files) and compare ROW LISTS, not a dict —
+        # a dict keyed by k silently collapses duplicate row versions,
+        # which is exactly the defect the fold-skip path can produce
+        got_rows = sorted(
+            (r["k"], r["v"]) for r in table.read(spark).collect()
+        )
+        oracle_now = _python_lww_partial(delivered)
+        assert got_rows == sorted(oracle_now.items())
 
-    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
-    assert got == _python_lww(events)
+    assert dict(got_rows) == _python_lww(events)
