@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -233,17 +234,22 @@ class LakeTable:
         return set(self.snapshot().applied.keys())
 
     def epoch_applied(self, epoch) -> bool:
-        """True iff this epoch was already applied — either present in
-        the recent ``applied`` map, or (numeric) at/below the folded
-        ``applied_watermark``."""
+        """True iff this epoch was already applied — present in the
+        recent ``applied`` map, or (bare numeric) at/below the folded
+        ``applied_watermark``, or (prefixed, e.g. DLQ-class ``f12`` /
+        reprocess ``rp7``) with its numeric suffix at/below that
+        namespace's entry in ``applied_watermarks``."""
         snap = self.snapshot()
         s = str(epoch)
         if s in snap.applied:
             return True
-        try:
-            n = int(s)
-        except ValueError:
+        m = re.match(r"^(.*?)(-?\d+)$", s)
+        if not m:
             return False
+        pre, n = m.group(1), int(m.group(2))
+        if pre:
+            wm = snap.raw.get("applied_watermarks", {}).get(pre)
+            return wm is not None and n <= int(wm)
         # absent ≠ -1: a fresh table has no watermark, and the bootstrap
         # epoch IS -1 — the default value must not claim it applied
         wm = snap.raw.get("applied_watermark")
@@ -503,6 +509,7 @@ class LakeTable:
         if len(applied) > limit:
             wm = int(raw.get("applied_watermark", -1))
             lineage = dict(raw.get("lineage", {}))
+            folded = 0
             ints = sorted(
                 int(k) for k in applied if k.lstrip("-").isdigit()
             )
@@ -514,8 +521,48 @@ class LakeTable:
                     if seq is not None:
                         lineage[pid] = max(lineage.get(pid, -1), int(seq))
                 wm = max(wm, n)  # n == wm+1, or the -1 bootstrap epoch
-            raw["applied_watermark"] = wm
-            raw["lineage"] = lineage
+                folded += 1
+            if folded:
+                # only when something actually folded: writing wm=-1
+                # after an immediate gap-break would falsely claim the
+                # bootstrap epoch (-1) applied on a fresh table whose
+                # numeric epochs start above 0
+                raw["applied_watermark"] = wm
+                raw["lineage"] = lineage
+            # Prefixed epochs (DLQ classes f/u/c/{route}:, reprocess
+            # markers rp/rpdel) never match the numeric fold, so a
+            # shared DLQ table on a long multi-table stream would still
+            # rewrite an O(epochs) applied map per commit. Fold them
+            # into per-namespace watermarks. No contiguity rule here —
+            # and none is needed: each namespace has ONE producer whose
+            # numeric suffixes are strictly monotonic (streaming batch
+            # ids per route, DLQ snapshot versions for rp/rpdel), and
+            # Structured Streaming only ever redelivers the LATEST
+            # uncommitted batch, so any suffix at/below the namespace
+            # max was either committed or permanently surpassed — it
+            # can never be attempted again with new data.
+            if len(applied) > limit:
+                wms = {
+                    k: int(v)
+                    for k, v in raw.get("applied_watermarks", {}).items()
+                }
+                for k in sorted(applied):
+                    if k.lstrip("-").isdigit():
+                        continue  # bare numerics: gap-ruled fold above
+                    m = re.match(r"^(.*?)(-?\d+)$", k)
+                    if not m:
+                        continue  # no numeric suffix: never folded
+                    pre, n = m.group(1), int(m.group(2))
+                    e = applied.pop(k)
+                    for pid, seq in (e.get("partitions") or {}).items():
+                        if seq is not None:
+                            lineage[pid] = max(
+                                lineage.get(pid, -1), int(seq)
+                            )
+                    wms[pre] = max(wms.get(pre, n), n)
+                if wms:
+                    raw["applied_watermarks"] = wms
+                    raw["lineage"] = lineage
         raw["summary"] = summary or {}
         raw["committed_at"] = time.time()
         try:

@@ -176,8 +176,8 @@ def test_applied_epoch_manifest_folds_bounded(spark, tmp_path):
     """The exactly-once manifest must not grow with every epoch ever
     applied (O(epochs) JSON per commit kills a 10^4-batch stream): old
     NUMERIC epochs fold into applied_watermark + per-partition lineage,
-    idempotence and offsets intact; non-numeric (DLQ-class) epochs
-    never fold."""
+    idempotence and offsets intact; prefixed (DLQ-class) epochs fold
+    into per-namespace watermarks and stay detectable as applied."""
     from pyspark.sql import functions as F
 
     from nebula_spark.cdc import gen_binlog
@@ -204,8 +204,8 @@ def test_applied_epoch_manifest_folds_bounded(spark, tmp_path):
     for i, b in enumerate(batches):
         merge_into(spark, table, b, epoch=i)
         merge_into(spark, ref, b, epoch=i)
-    # a non-numeric epoch rides along (DLQ-class keys never fold);
-    # zero-row appends still record their epoch
+    # a prefixed DLQ-class epoch rides along; zero-row appends still
+    # record their epoch
     append_into(spark, table, batches[0].limit(0).drop(
         "op", "op_sequence", "ts", "txn_id", "partition_id",
         "schema_version"), epoch="c7", summary_op="dlq")
@@ -214,7 +214,14 @@ def test_applied_epoch_manifest_folds_bounded(spark, tmp_path):
     assert snap.applied_watermark >= 4  # old epochs folded out
     numeric_kept = [k for k in snap.applied if k.lstrip("-").isdigit()]
     assert len(numeric_kept) <= 3
-    assert "c7" in snap.applied
+    # the prefixed epoch either still sits in the recent map or folded
+    # into its namespace watermark — applied either way
+    assert (
+        "c7" in snap.applied
+        or snap.raw.get("applied_watermarks", {}).get("c") == 7
+    )
+    assert table.epoch_applied("c7")
+    assert not table.epoch_applied("c8")
     # idempotence covers folded epochs
     for i in range(8):
         assert table.epoch_applied(i)
@@ -262,3 +269,79 @@ def test_manifest_json_stays_bounded_over_many_commits(tmp_path):
     assert max(sizes) < 1.2 * min(sizes)
     assert all(table.epoch_applied(e) for e in range(300))
     assert table.partition_offsets() == {"0": 2990}
+
+
+def test_dlq_manifest_stays_bounded_with_prefixed_epochs(tmp_path):
+    """A shared DLQ table sees only PREFIXED epochs (failed 'f{batch}',
+    unrouted 'u{batch}', conflict 'c{epoch}', per-route '{route}:{e}',
+    reprocess 'rp{v}') — none match the bare-numeric fold, so before
+    the per-namespace watermarks a long multi-route stream rewrote an
+    O(epochs) applied map on every quarantine commit. 300 prefixed
+    commits must fold to per-namespace watermarks: bounded applied map,
+    flat snapshot JSON, and every committed epoch still reads applied."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake import LakeTable
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False)])
+    table = LakeTable.create(
+        str(tmp_path / "d"), schema, "k", n_buckets=4,
+        properties={"max_applied_epochs": 32},
+    )
+    namespaces = ["f", "u", "c", "evens:", "odds:", "rp"]
+    committed = []
+    for i in range(300):
+        ns = namespaces[i % len(namespaces)]
+        epoch = f"{ns}{i}"  # per-namespace suffixes strictly increase
+        committed.append(epoch)
+        table.commit(
+            applied_update={epoch: {"partitions": {"0": i * 10}, "events": 0}},
+            summary={"operation": "dlq", "epoch": epoch},
+        )
+    snap = table.snapshot()
+    assert len(snap.applied) <= 33
+    wms = snap.raw.get("applied_watermarks", {})
+    assert set(wms) == set(namespaces)
+    assert all(table.epoch_applied(e) for e in committed)
+    # an UNSEEN suffix above every namespace max must not claim applied
+    assert not table.epoch_applied("f9999")
+    assert not table.epoch_applied("other:5")
+    # the fold empties the applied map each time it tips past the
+    # limit, so sizes OSCILLATE within a cycle — bounded means the
+    # cycle maximum stops growing, not that any two snapshots match
+    def _size(v):
+        return os.path.getsize(table._meta("snap-%012d.json" % v))
+
+    early = max(_size(v) for v in range(40, 110))
+    late = max(_size(v) for v in range(230, 300))
+    assert late < 1.3 * early
+    # lineage folded from the prefixed entries too
+    assert table.partition_offsets()["0"] >= 2500
+
+
+def test_watermark_fold_gap_never_claims_bootstrap_epoch(tmp_path):
+    """Regression: when the numeric fold hits an immediate gap (epochs
+    start above 0) it folds NOTHING — it must not write the -1 default
+    watermark, which would falsely report the bootstrap epoch (-1) as
+    applied and make a later snapshot-load silently skip."""
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake import LakeTable
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False)])
+    table = LakeTable.create(
+        str(tmp_path / "g"), schema, "k", n_buckets=4,
+        properties={"max_applied_epochs": 4},
+    )
+    # checkpoint batch ids starting at 10: non-contiguous with -1/0
+    for e in range(10, 21):
+        table.commit(
+            applied_update={str(e): {"partitions": {}, "events": 0}},
+            summary={"operation": "merge-empty", "epoch": e},
+        )
+    assert not table.epoch_applied(-1)  # bootstrap must still run
+    assert not table.epoch_applied(0)
+    assert all(table.epoch_applied(e) for e in range(10, 21))
