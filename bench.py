@@ -8,7 +8,11 @@ operators at $SPARK_GRAFT_SF_DIR.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_EVENTS / BENCH_DOCS / BENCH_BATCHES override the replay size.
+     BENCH_EVENTS / BENCH_DOCS / BENCH_BATCHES override the replay size,
+     BENCH_REPS interleaved repetitions per query (default 3; per-query
+     value reported is BEST-OF, with every round's time in
+     query_rounds — single runs are meaningless under this host's
+     documented ~10× CPU-steal variance).
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 scripts/scaling_bench.py → BENCH/BASELINE.md; this file reports the
@@ -34,7 +38,7 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
+def run_cdc_replay(spark, sf: float, cpus: int, workdir: str, warm: bool = True) -> dict:
     from nebula_spark.cdc.apply import apply_changes
     from nebula_spark.cdc.binlog import SEQUENCE_SCHEMA, gen_binlog, write_binlog_chunks
     from nebula_spark.lake.table import LakeTable
@@ -103,19 +107,20 @@ def run_cdc_replay(spark, sf: float, cpus: int, workdir: str) -> dict:
     # the 10^10-event operating point it is noise, so the measured
     # replay starts warm (sustained_events_per_sec already excluded
     # batch 1 for the same reason; this fixes the total too)
-    warm_dir = os.path.join(workdir, "warmup_table")
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    warm = LakeTable.create(
-        warm_dir,
-        SEQUENCE_SCHEMA,
-        "doc_id",
-        n_buckets=4,
-        # same merge mode as the measured table: NEBULA_DEDUP_HOW=none
-        # (map-only) is valid only on merge-on-read tables
-        properties={"merge_mode": os.environ.get("NEBULA_MERGE_MODE", "cow")},
-    )
-    apply_changes(spark, warm, gen_binlog(spark, 2000, 500, seed=7), epoch=0)
-    shutil.rmtree(warm_dir, ignore_errors=True)
+    if warm:  # later interleaved repetitions are already hot
+        warm_dir = os.path.join(workdir, "warmup_table")
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        wt = LakeTable.create(
+            warm_dir,
+            SEQUENCE_SCHEMA,
+            "doc_id",
+            n_buckets=4,
+            # same merge mode as the measured table: NEBULA_DEDUP_HOW=none
+            # (map-only) is valid only on merge-on-read tables
+            properties={"merge_mode": os.environ.get("NEBULA_MERGE_MODE", "cow")},
+        )
+        apply_changes(spark, wt, gen_binlog(spark, 2000, 500, seed=7), epoch=0)
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     per_chunk_events = n_events / n_batches
     t0 = time.time()
@@ -196,7 +201,14 @@ def run_minhash_scale(spark, sf_dir: str) -> dict:
     }
 
 
-def run_queries(spark, sf_dir: str) -> dict:
+def run_queries(spark, sf_dir: str, reps: int) -> tuple[dict, dict]:
+    """Per-query wall times, noise-robust: the host shows documented
+    ~10× CPU-steal swings (BENCH/BASELINE.md "Host noise"), so a single
+    measurement per query is meaningless. Run ``reps`` INTERLEAVED
+    rounds (q1..qn, q1..qn, ...) — a steal burst then inflates one
+    whole round, not one query's every sample — and report per-query
+    best-of plus the full spread. Best-of round 1 also absorbs the
+    one-time whole-stage-codegen compile each plan pays per JVM."""
     import __spark_entry__ as entry
 
     names = [
@@ -216,12 +228,13 @@ def run_queries(spark, sf_dir: str) -> dict:
         "multimodal_features",
     ]
     qs = entry.queries()
-    out = {}
-    for name in names:
-        t0 = time.time()
-        _noop(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
-    return out
+    rounds: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(max(1, reps)):
+        for name in names:
+            t0 = time.time()
+            _noop(qs[name](spark, sf_dir))
+            rounds[name].append(round(time.time() - t0, 3))
+    return {n: min(ts) for n, ts in rounds.items()}, rounds
 
 
 def main() -> None:
@@ -252,21 +265,41 @@ def main() -> None:
         )
         return
 
-    queries = {} if os.environ.get("BENCH_ONLY_CDC") else run_queries(spark, sf_dir)
-    cdc = run_cdc_replay(spark, sf, cpus, workdir)
-    queries["cdc_replay_pipeline"] = cdc["seconds"]
-    # second replay in merge-on-read mode (same binlog): the operating
-    # mode for 10^10-event scale — append-only merges, read-time LWW
-    # fold (BENCH/BASELINE.md "merge-on-read vs copy-on-write")
-    if os.environ.get("BENCH_ONLY_CDC") or os.environ.get("NEBULA_MERGE_MODE"):
-        cdc_mor = None
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    if os.environ.get("BENCH_ONLY_CDC"):
+        queries, query_rounds = {}, {}
     else:
-        os.environ["NEBULA_MERGE_MODE"] = "mor"
-        try:
-            cdc_mor = run_cdc_replay(spark, sf, cpus, workdir)
-        finally:
-            del os.environ["NEBULA_MERGE_MODE"]
+        queries, query_rounds = run_queries(spark, sf_dir, reps)
+
+    # CDC replays, interleaved CoW/MoR × reps, best-of per mode — the
+    # same steal-noise defense as run_queries. MoR is the operating
+    # mode for 10^10-event scale (append-only merges, read-time LWW
+    # fold, BENCH/BASELINE.md "merge-on-read vs copy-on-write").
+    run_mor = not (
+        os.environ.get("BENCH_ONLY_CDC") or os.environ.get("NEBULA_MERGE_MODE")
+    )
+    cow_runs: list[dict] = []
+    mor_runs: list[dict] = []
+    for r in range(max(1, reps)):
+        cow_runs.append(run_cdc_replay(spark, sf, cpus, workdir, warm=r == 0))
+        if run_mor:
+            os.environ["NEBULA_MERGE_MODE"] = "mor"
+            try:
+                mor_runs.append(
+                    run_cdc_replay(spark, sf, cpus, workdir, warm=r == 0)
+                )
+            finally:
+                del os.environ["NEBULA_MERGE_MODE"]
+    cdc = min(cow_runs, key=lambda d: d["seconds"])
+    cdc["all_seconds"] = [d["seconds"] for d in cow_runs]
+    queries["cdc_replay_pipeline"] = cdc["seconds"]
+    query_rounds["cdc_replay_pipeline"] = cdc["all_seconds"]
+    cdc_mor = None
+    if run_mor:
+        cdc_mor = min(mor_runs, key=lambda d: d["seconds"])
+        cdc_mor["all_seconds"] = [d["seconds"] for d in mor_runs]
         queries["cdc_replay_mor_pipeline"] = cdc_mor["seconds"]
+        query_rounds["cdc_replay_mor_pipeline"] = cdc_mor["all_seconds"]
     total = round(sum(queries.values()), 2)
 
     out = {
@@ -276,6 +309,8 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "reps": reps,
+        "query_rounds": query_rounds,
         "cdc_replay": cdc,
     }
     if cdc_mor is not None:
