@@ -150,12 +150,15 @@ def migrate_column(
     groups cast them on read. Anything else (string→int, long→int,
     …) cannot be expressed as cast-on-read safely, so this is an
     EXPLICIT one-shot rewrite: read the whole table, convert the
-    column (``try_cast`` by default — unconvertible values become
-    null; ``strict=True`` uses ``cast`` and fails the job on bad
-    values... for numeric→numeric Spark cast truncates, so strict
-    mainly matters for string parsing), write back under a bumped
-    schema. Same atomicity + concurrency posture as rescale: pinned
-    base_version, full replace, losers conflict cleanly."""
+    column (``try_cast`` — unconvertible values become null), write
+    back under a bumped schema. ``strict=True`` FAILS (before any
+    write) if the conversion would change any value: a non-null value
+    converting to null (unparseable string), or a numeric→numeric
+    conversion that doesn't round-trip (long→int overflow wraps,
+    double→int truncates — Spark's non-ANSI ``cast`` silently loses
+    precision, so strictness needs an explicit check). Same atomicity
+    + concurrency posture as rescale: pinned base_version, full
+    replace, losers conflict cleanly."""
     from pyspark.sql import functions as F, types as T
 
     if isinstance(new_type, str):
@@ -175,12 +178,29 @@ def migrate_column(
 
     df = table.read(spark, version=snap.version, include_internal=True)
     conv = (
-        F.col(column).cast(new_type)
-        if strict
-        else F.try_cast(F.col(column), new_type)
+        F.try_cast(F.col(column), new_type)
         if hasattr(F, "try_cast")
         else F.expr(f"try_cast({column} as {new_type.simpleString()})")
     )
+    if strict:
+        # refuse (before any write) if the conversion changes a value:
+        # non-null → null, or a numeric round-trip mismatch (overflow
+        # wrap / fractional truncation under Spark's non-ANSI cast)
+        lossy = F.col(column).isNotNull() & conv.isNull()
+        if isinstance(old_field.dataType, T.NumericType) and isinstance(
+            new_type, T.NumericType
+        ):
+            lossy = lossy | (
+                F.col(column).isNotNull()
+                & ~conv.cast(old_field.dataType).eqNullSafe(F.col(column))
+            )
+        bad = df.filter(lossy).select(column).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"strict migrate_column: value {bad[0][0]!r} of column "
+                f"{column!r} does not convert losslessly to "
+                f"{new_type.simpleString()}"
+            )
     df = df.withColumn(column, conv)
     from nebula_spark.lake.table import INTERNAL_FIELDS, bucket_expr
 

@@ -56,6 +56,7 @@ def run_stream(
     retry_max: int = 3,
     retry_backoff_s: float = 1.0,
     auto_compact_files: int | None = None,
+    purge_tombstones: bool = False,
     adaptive_target_batch_s: float | None = None,
     adaptive_max_trigger: int = 64,
 ) -> dict:
@@ -81,9 +82,19 @@ def run_stream(
     When set, any bucket whose file count exceeds the threshold is
     compacted to one file right after the batch commits (the metadata
     check is free: file lists live in the snapshot). This is the
-    in-stream analogue of Iceberg's rewrite_data_files maintenance;
-    tombstones are NOT purged here (that needs the lineage low-water
-    mark — see lake.maintenance.compact).
+    in-stream analogue of Iceberg's rewrite_data_files maintenance.
+
+    ``purge_tombstones``: additionally drop tombstones whose ``_seq``
+    sits below the lineage low-water mark during those compactions, so
+    a delete-heavy unbounded stream's buckets stay bounded. OPT-IN
+    because it is sound only when the source delivers each partition's
+    events IN ORDER (every real CDC feed — binlog/WAL/Kafka — does;
+    the LWM then truly means "everything at/below was applied"). A
+    feed that re-orders chunks (e.g. test fixtures sharing one mtime)
+    can deliver a LOWER-seq event after the purge, and with the
+    tombstone gone that stale event would resurrect the key. Refused
+    semantics under first-write-wins are unchanged (FWW tombstones
+    beat any later seq and must persist — compaction keeps them).
 
     A failing micro-batch is retried ``retry_max`` times with
     exponential backoff (``retry_backoff_s * 2^attempt``); after the
@@ -154,6 +165,13 @@ def run_stream(
                     return
                 metrics["retries"] += 1
                 time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
+        if res.merge.skipped and trigger_state.get("resized_batch") == batch_id:
+            # redelivery caused by our own resize restart: the work was
+            # already counted when this batch originally committed —
+            # recounting would overstate batches/skipped by one per
+            # resize. (A genuine crash-redelivery skip still counts.)
+            trigger_state["resized_batch"] = None
+            return
         ingest_metrics.record(res)
         metrics["batches"] += 1
         if res.merge.skipped:
@@ -161,6 +179,8 @@ def run_stream(
         else:
             metrics["events"] += res.merge.events_in
         if auto_compact_files and not res.merge.skipped:
+            import os
+
             from nebula_spark.lake.maintenance import compact
 
             fat = [
@@ -169,7 +189,25 @@ def run_stream(
                 if len(fs) > auto_compact_files
             ]
             if fat:
-                compact(spark, table, buckets=fat)
+                purge_wm = None
+                if purge_tombstones:
+                    # see the docstring: requires per-partition-ordered
+                    # delivery; refused under first-write-wins (a FWW
+                    # tombstone beats ANY later seq and must persist)
+                    effective_conflict = conflict or os.environ.get(
+                        "NEBULA_CONFLICT", "last_write_wins"
+                    )
+                    fww = effective_conflict == "first_write_wins" or (
+                        table.merge_mode == "mor"
+                        and table.mor_conflict == "first_write_wins"
+                    )
+                    purge_wm = None if fww else table.low_water_mark()
+                compact(
+                    spark,
+                    table,
+                    buckets=fat,
+                    purge_tombstone_watermark=purge_wm,
+                )
                 metrics["compactions"] = metrics.get("compactions", 0) + 1
         if metrics_path:
             ingest_metrics.dump(metrics_path, table)
@@ -188,6 +226,7 @@ def run_stream(
             if new != cur:
                 trigger_state["cur"] = new
                 trigger_state["pending"] = True
+                trigger_state["resized_batch"] = batch_id
                 trigger_state["resizes"].append(
                     {"batch": batch_id, "from": cur, "to": new,
                      "batch_s": round(dt, 3)}
@@ -318,6 +357,10 @@ def run_multi_stream(
         t_batch = time.time()
         applied_any = False
         attempt = 0
+        # redelivery caused by our own resize restart: every route
+        # manifest-skips; replay the (idempotent) fan-out but don't
+        # recount — metrics would overstate by one per route per resize
+        recount = trigger_state.get("resized_batch") != batch_id
         while True:
             batch_df.persist()
             try:
@@ -329,7 +372,8 @@ def run_multi_stream(
                 )
                 n_unknown = unknown.count()
                 if n_unknown:
-                    metrics["events_unrouted"] += n_unknown
+                    if recount:
+                        metrics["events_unrouted"] += n_unknown
                     if dlq_table is not None:
                         from nebula_spark.lake.merge import append_into
 
@@ -376,13 +420,18 @@ def run_multi_stream(
                         dlq_ns=f"{name}:",
                     )
                     m = metrics["tables"][name]
-                    m["batches"] += 1
-                    if res.merge.skipped:
-                        m["skipped"] += 1
-                    else:
-                        m["events"] += res.merge.events_in
+                    if recount:
+                        m["batches"] += 1
+                        if res.merge.skipped:
+                            m["skipped"] += 1
+                        else:
+                            m["events"] += res.merge.events_in
+                    if not res.merge.skipped:
                         applied_any = True
-                metrics["batches"] += 1
+                if recount:
+                    metrics["batches"] += 1
+                else:
+                    trigger_state["resized_batch"] = None
                 break
             except Exception:
                 attempt += 1
@@ -405,6 +454,7 @@ def run_multi_stream(
             if new != cur:
                 trigger_state["cur"] = new
                 trigger_state["pending"] = True
+                trigger_state["resized_batch"] = batch_id
                 trigger_state["resizes"].append(
                     {"batch": batch_id, "from": cur, "to": new,
                      "batch_s": round(dt, 3)}

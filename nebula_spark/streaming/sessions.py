@@ -70,12 +70,28 @@ def stream_sessionize_custom(
     max_events: int | None = None,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    idle_timeout_s: int | None = None,
 ) -> DataFrame:
     """Custom stateful sessionizer: like the gap rule, but a session
     ALSO closes after ``max_events`` rows — inexpressible with
     session_window. applyInPandasWithState keeps (start, last, n) per
     user; closed sessions are emitted as they close, the open tail
-    stays in state until more data (or a timeout policy) arrives.
+    stays in state until more data or the idle timeout fires.
+
+    ``idle_timeout_s``: PROCESSING-TIME idle timeout. A user whose
+    open session sees no new data for this long gets the session
+    flushed and the state entry REMOVED — without it, every abandoned
+    key holds state forever on an unbounded stream (the built-in
+    session_window path ages state out via watermark; this is the
+    equivalent for the custom rule). SET THIS on any long-running
+    (processing-time-trigger) deployment, typically to ~gap_s. Default
+    None = no timeout, which is what an ``availableNow`` backlog drain
+    wants: with timeouts armed, the drain would idle-wait for every
+    open session's timer before terminating. Flushing on a
+    processing-time clock means an extremely late event (arriving
+    after the idle flush, stamped within gap of the flushed tail)
+    starts a NEW session instead of extending the flushed one — the
+    same tradeoff the watermark path makes.
 
     Determinism contract: within each micro-batch the group's rows are
     sorted by ``ts`` before folding, so results depend on the batch
@@ -93,9 +109,34 @@ def stream_sessionize_custom(
     import pandas as pd  # noqa: F401 (documents the pandas dependency)
 
     cap = max_events if max_events is not None else 1 << 62
+    idle_ms = (idle_timeout_s or 0) * 1000
 
     def fold(key, pdf_iter, state):
         (user,) = key
+        import pandas as pd
+
+        def _emit(rows):
+            if not rows:
+                return pd.DataFrame(
+                    columns=["user_id", "session_start", "session_end", "n_events"]
+                )
+            df = pd.DataFrame(
+                rows,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
+            df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
+            return df
+
+        if idle_ms and state.hasTimedOut:
+            # no data for this user since the timeout was armed: flush
+            # the open session and DROP the state entry — state size is
+            # now bounded by the active-key set, not every key ever seen
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit([(user, start_us, last_us, n)])
+            return
+
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -128,19 +169,11 @@ def stream_sessionize_custom(
             state.remove()
         else:
             state.update((start_us, last_us, n))
-        import pandas as pd
-
-        if not out:
-            yield pd.DataFrame(
-                columns=["user_id", "session_start", "session_end", "n_events"]
-            )
-            return
-        df = pd.DataFrame(
-            out, columns=["user_id", "session_start", "session_end", "n_events"]
-        )
-        df["session_start"] = pd.to_datetime(df["session_start"], unit="us")
-        df["session_end"] = pd.to_datetime(df["session_end"], unit="us")
-        yield df
+            if idle_ms:
+                # re-armed on every batch that touches this user; fires
+                # only after a full idle window with no new data
+                state.setTimeoutDuration(idle_ms)
+        yield _emit(out)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -149,5 +182,9 @@ def stream_sessionize_custom(
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -415,3 +415,58 @@ def test_migrate_column_non_widening(spark, tmp_path):
 
     # no-op migration short-circuits
     assert migrate_column(spark, table, "source", "int")["migrated"] is False
+
+
+def test_migrate_column_strict_refuses_lossy(spark, tmp_path):
+    """strict=True must be actually strict: refuse BEFORE writing when
+    any value would change — an unparseable string (try_cast null) or a
+    numeric conversion that doesn't round-trip (long->int overflow
+    wraps under Spark's non-ANSI cast). Clean values migrate fine."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake import LakeTable, merge_into
+    from nebula_spark.lake.maintenance import migrate_column
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+        ]
+    )
+    table = LakeTable.create(str(tmp_path / "t"), schema, "k", n_buckets=2)
+    rows = [(i, "INSERT", f"k{i}", 100 + i, str(i)) for i in range(20)]
+    rows.append((99, "INSERT", "kbig", 1 << 40, "notanint"))  # overflows int
+    df = spark.createDataFrame(
+        rows, "op_sequence long, op string, k string, v long, s string"
+    )
+    merge_into(spark, table, df, epoch=0)
+    v0 = table.snapshot().version
+
+    # long -> int with an overflowing value: strict refuses, no commit
+    with pytest.raises(ValueError, match="losslessly"):
+        migrate_column(spark, table, "v", "int", strict=True)
+    # string -> int with an unparseable value: strict refuses too
+    with pytest.raises(ValueError, match="losslessly"):
+        migrate_column(spark, table, "s", "int", strict=True)
+    assert table.snapshot().version == v0  # nothing committed
+
+    # non-strict: same migrations proceed, bad values null out / wrap
+    out = migrate_column(spark, table, "s", "int")
+    assert out["migrated"]
+    got = table.read(spark)
+    from pyspark.sql import functions as F
+
+    assert got.filter(F.col("s").isNull()).count() == 1
+    assert got.filter(F.col("s") == 7).count() == 1
+
+    # after deleting the overflowing row, strict long->int succeeds
+    fix = spark.createDataFrame(
+        [(100, "DELETE", "kbig", None, None)],
+        "op_sequence long, op string, k string, v long, s int",
+    )
+    merge_into(spark, table, fix, epoch=1)
+    out2 = migrate_column(spark, table, "v", "int", strict=True)
+    assert out2["migrated"]
+    assert table.read(spark).filter(F.col("v") == 105).count() == 1

@@ -448,3 +448,98 @@ def test_mor_map_only_single_file_bucket_folds(spark, tmp_path):
     assert len(e2) == 1 and e2[0].get("key_unique", True) is True
     rows2 = table.read(spark).collect()
     assert len(rows2) == 1 and rows2[0]["n_tok"] == 3
+
+
+def test_stream_auto_compact_purges_tombstones_below_lwm(spark, tmp_path):
+    """Delete-heavy soak: in-stream auto-compaction now purges
+    tombstones whose _seq sits below the lineage low-water mark (they
+    can never lose to a future event), so bucket contents stay bounded
+    on an unbounded delete-heavy stream. Final state must remain
+    oracle-exact; every below-LWM tombstone must be gone after the
+    drain (each batch compacts every fat bucket with the then-current
+    LWM, and the last batch's compaction sees the final lineage)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.cdc.binlog import write_binlog_chunks
+    from nebula_spark.streaming.ingest import run_stream
+
+    log = gen_binlog(spark, 6000, 250, seed=78)
+    # delete-heavy: every 2nd event becomes a DELETE with a null
+    # after-image (real binlog deletes carry the before-image only)
+    is_del = F.pmod(F.col("op_sequence"), 2) == 0
+    log = (
+        log.withColumn("op", F.when(is_del, F.lit("DELETE")).otherwise(F.col("op")))
+        .withColumn("tokens", F.when(is_del, F.lit(None).cast(T.ArrayType(T.IntegerType()))).otherwise(F.col("tokens")))
+        .withColumn("n_tok", F.when(is_del, F.lit(None).cast("int")).otherwise(F.col("n_tok")))
+        .withColumn("source", F.when(is_del, F.lit(None).cast("string")).otherwise(F.col("source")))
+    )
+    binlog_dir = str(tmp_path / "b")
+    write_binlog_chunks(log, binlog_dir, n_chunks=10, files_per_chunk=1)
+    # the purge contract requires per-partition-ORDERED delivery (what
+    # every real binlog/WAL/Kafka feed provides); burst-written test
+    # chunks share an mtime and the file source would shuffle them, so
+    # stamp strictly increasing mtimes to deliver chunks in order
+    chunk_dirs = sorted(
+        (d for d in os.listdir(binlog_dir) if d.startswith("_chunk=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(chunk_dirs):
+        full = os.path.join(binlog_dir, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (t0 + i, t0 + i))
+    table = _mor(tmp_path, "tp", buckets=4)
+    m = run_stream(
+        spark,
+        table,
+        binlog_dir,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        dedup_how="none",
+        auto_compact_files=1,
+        purge_tombstones=True,
+    )
+    assert m.get("compactions", 0) >= 5
+    lwm = table.low_water_mark()
+    assert lwm is not None and lwm > 0
+    internal = table.read(spark, include_internal=True)
+    below = internal.filter(F.col("_deleted") & (F.col("_seq") < lwm)).count()
+    assert below == 0, f"{below} purgeable tombstones survived"
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
+
+
+def test_stream_auto_compact_keeps_fww_tombstones(spark, tmp_path):
+    """Under first-write-wins a tombstone beats ANY later sequence, so
+    the in-stream purge must be refused there: compaction still folds
+    versions but keeps every tombstone."""
+    import os
+
+    from nebula_spark.cdc.binlog import write_binlog_chunks
+    from nebula_spark.streaming.ingest import run_stream
+
+    log = gen_binlog(spark, 3000, 150, seed=79)
+    binlog_dir = str(tmp_path / "b")
+    write_binlog_chunks(log, binlog_dir, n_chunks=5, files_per_chunk=1)
+    table = _mor_fww(tmp_path, "fp")
+    run_stream(
+        spark,
+        table,
+        binlog_dir,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        conflict="first_write_wins",
+        auto_compact_files=1,
+        purge_tombstones=True,
+    )
+    internal = table.read(spark, include_internal=True)
+    n_tomb = internal.filter(F.col("_deleted")).count()
+    # FWW keeps the earliest event per key; the log has DELETEs, so
+    # tombstones must survive compaction
+    assert n_tomb > 0
+    oracle = replay_final_state(
+        os.path.join(binlog_dir, "*", "*.parquet"), order="ASC"
+    )
+    assert_equivalent(table.read(spark), oracle)

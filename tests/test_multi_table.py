@@ -238,6 +238,13 @@ def test_multi_stream_adaptive_trigger(spark, tmp_path):
     )
     assert m["final_trigger"] == 1
     assert [(r["from"], r["to"]) for r in m["trigger_resizes"]] == [(4, 2), (2, 1)]
+    # resize redeliveries are NOT recounted: 6 files as 4+2 genuine
+    # batches, zero phantom per-table skips from the two restarts
+    assert m["batches"] == 2
+    assert all(
+        t["batches"] == 2 and t["skipped"] == 0
+        for t in m["tables"].values()
+    )
     glob = os.path.join(binlog_dir, "*", "*.parquet")
     for name in ("users", "orders"):
         oracle = replay_final_state(glob, where=f"source_table = '{name}'")

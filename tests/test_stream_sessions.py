@@ -217,3 +217,54 @@ def test_custom_sessionizer_cap_one(spark, tmp_path):
     assert _as_tuples(got) == sorted(want)
     assert all(n == 1 for _, _, _, n in _as_tuples(got))
     assert len(got) == len(rows)
+
+
+def test_custom_sessionizer_idle_timeout_flushes_state(spark, tmp_path):
+    """ProcessingTimeTimeout: a user who stops sending events gets the
+    open session FLUSHED after idle_timeout_s and the state entry
+    removed — without this, abandoned keys held state forever on an
+    unbounded stream. Drive a real processing-time-trigger query: feed
+    one chunk, then wait with no new data until the timeout fires."""
+    import time
+
+    rows = [(u, BASE_US + u * 1_000_000 + i * 30_000_000) for u in range(2) for i in range(3)]
+    d, schema = _write_chunks(spark, tmp_path, rows, n_chunks=1)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    sess = stream_sessionize_custom(ev, gap_s=GAP_S, idle_timeout_s=2)
+    out_rows = []
+
+    def collect(batch_df, _):
+        out_rows.extend(batch_df.collect())
+
+    q = (
+        sess.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ck_idle"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(out_rows) < 2:
+            time.sleep(0.5)
+        assert len(out_rows) == 2, f"expected 2 flushed sessions, got {out_rows}"
+        # both users' open sessions flushed with all 3 events each
+        got = _as_tuples(out_rows)
+        want = _python_sessions(rows, GAP_S)
+        assert got == sorted(want)
+        # the state store drained to zero entries
+        deadline = time.time() + 60
+        n_state = None
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["stateOperators"]:
+                n_state = p["stateOperators"][0]["numRowsTotal"]
+                if n_state == 0:
+                    break
+            time.sleep(0.5)
+        assert n_state == 0, f"state not drained: {n_state}"
+    finally:
+        q.stop()

@@ -393,6 +393,9 @@ def test_adaptive_trigger_shrinks_and_grows(spark, tmp_path):
     )
     assert out["final_trigger"] == 1
     assert [(r["from"], r["to"]) for r in out["trigger_resizes"]] == [(4, 2), (2, 1)]
+    # resize redeliveries are NOT recounted: 8 files as 4+2+1+1 genuine
+    # batches, zero phantom skips from the two restarts
+    assert out["batches"] == 4 and out["skipped"] == 0
     assert_equivalent(t1.read(spark), oracle)
 
     # grow (recovery): a generous target doubles the trigger while the
@@ -412,4 +415,94 @@ def test_adaptive_trigger_shrinks_and_grows(spark, tmp_path):
         (1, 2),
         (2, 4),
     ]
+    # 8 files as 1+2+4+1 genuine batches; restarts add no phantom skips
+    assert out2["batches"] == 4 and out2["skipped"] == 0
     assert_equivalent(t2.read(spark), oracle)
+
+
+def test_continuous_stream_processing_time_trigger(spark, tmp_path):
+    """The continuous path (available_now=False): the query keeps
+    running on a processing-time trigger, picks up chunk files as the
+    producer lands them, survives a stop/restart from the same
+    checkpoint with more data arriving after the restart, and the
+    final state is oracle-exact — the long-lived deployment shape, vs
+    the availableNow backlog drain every other test uses."""
+    import shutil
+    import time
+
+    staging = str(tmp_path / "staging")
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    log = gen_binlog(spark, 3000, 150, seed=94)
+    write_binlog_chunks(log, staging, n_chunks=6, files_per_chunk=1)
+    chunks = sorted(
+        (d for d in os.listdir(staging) if d.startswith("_chunk=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+
+    def feed(names):
+        for d in names:
+            shutil.move(os.path.join(staging, d), os.path.join(live, d))
+
+    def wait_lwm(at_least, deadline_s=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            lwm = table.low_water_mark()
+            if lwm is not None and lwm >= at_least:
+                return lwm
+            time.sleep(0.5)
+        raise AssertionError(
+            f"low_water_mark never reached {at_least}: {table.low_water_mark()}"
+        )
+
+    def stop(query_id):
+        q = next(
+            (qq for qq in spark.streams.active if str(qq.id) == query_id), None
+        )
+        assert q is not None
+        q.stop()
+        q.awaitTermination(60)
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+    )
+    feed(chunks[:3])  # backlog present at start
+    info = run_stream(
+        spark,
+        table,
+        live,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        available_now=False,
+    )
+    assert "query_id" in info
+    try:
+        wait_lwm(1400)  # chunks 0-2 = op_sequence 0..1499 applied
+        feed(chunks[3:5])  # producer lands more files mid-flight
+        wait_lwm(2400)
+    finally:
+        stop(info["query_id"])
+
+    # restart from the same checkpoint; the last chunk arrives AFTER
+    # the restart — resume must not re-apply or skip anything
+    v_stop = table.snapshot().version
+    info2 = run_stream(
+        spark,
+        table,
+        live,
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        available_now=False,
+    )
+    try:
+        feed(chunks[5:])
+        wait_lwm(2900)
+    finally:
+        stop(info2["query_id"])
+
+    oracle = replay_final_state(os.path.join(staging.replace("staging", "live"), "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
+    # every applied epoch committed exactly once (manifest versions grew
+    # monotonically; a redelivered batch after restart manifest-skips
+    # without a new version)
+    assert table.snapshot().version >= v_stop
