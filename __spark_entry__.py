@@ -121,6 +121,59 @@ def _replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_generational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoW replay through the FILE-PRUNED merge path: the changelog is
+    split into three contiguous user_id ranges (a monotonic-PK feed's
+    shape — new batches touch new id ranges), each merged as its own
+    epoch, then one range is re-delivered as an update epoch. With
+    per-file key bounds + file-level replace, the range-disjoint
+    generations are kept out of every later merge's scan and rewrite
+    (summary.files_kept, asserted non-zero below so a pruning
+    regression turns this row red); the final state must equal the
+    plain LWW replay regardless."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).select(
+        "op_sequence", "op", "user_id", "value_cents", "ts_us"
+    )
+    hi = cl.agg(F.max("user_id")).collect()[0][0] or 0
+    c1, c2 = hi // 3, 2 * hi // 3
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_gen_")
+    table = LakeTable.create(
+        os.path.join(tmp, "t"), schema, "user_id", n_buckets=8
+    )
+    merge_into(spark, table, cl.filter(F.col("user_id") <= c1), epoch=0)
+    merge_into(
+        spark,
+        table,
+        cl.filter((F.col("user_id") > c1) & (F.col("user_id") <= c2)),
+        epoch=1,
+    )
+    kept1 = table.snapshot().raw["summary"].get("files_kept", 0)
+    merge_into(spark, table, cl.filter(F.col("user_id") > c2), epoch=2)
+    kept2 = table.snapshot().raw["summary"].get("files_kept", 0)
+    # re-deliver the low range as an update epoch: rewrites gen-0 files,
+    # keeps gens 1-2
+    merge_into(spark, table, cl.filter(F.col("user_id") <= c1), epoch=3)
+    kept3 = table.snapshot().raw["summary"].get("files_kept", 0)
+    assert kept1 > 0 and kept2 > 0 and kept3 > 0, (
+        f"key-bounds pruning regressed: files_kept={kept1},{kept2},{kept3}"
+    )
+    return table.read(spark).select("user_id", "value_cents", "ts_us")
+
+
 def _conflict_query(mode: str):
     """Exercise merge_into's conflict strategies end-to-end on a real
     (temp) lake table: target = latest signup image per user, batch =
@@ -647,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_reject": _conflict_query("reject"),
         "cdc_conflict_fww": _conflict_query("first_write_wins"),
         "cdc_replay_rescale": _replay_rescale,
+        "cdc_replay_generational": _replay_generational,
         "cdc_mor_fww": _mor_fww,
         "cdc_mor_maponly": _mor_maponly,
         "cdc_multi_table_route": _multi_table_route,
@@ -803,6 +857,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_rescale": f"""
             -- a mid-stream bucket rescale is semantically invisible:
             -- final state == plain LWW replay
+            SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
+        """,
+        "cdc_replay_generational": f"""
+            -- range-partitioned generational merges with key-bounds file
+            -- pruning are semantically invisible: final state == LWW
             SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
         """,
         "cdc_multi_table_route": f"""

@@ -62,7 +62,7 @@ def compact(
     df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
         commit_dir
     )
-    new_files = LakeTable.list_written_files(commit_dir)
+    new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     new_snap = table.commit(
         new_files_by_bucket=new_files,
         replaced_buckets=chosen,
@@ -111,7 +111,7 @@ def rescale(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> dict:
     df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
         commit_dir
     )
-    new_files = LakeTable.list_written_files(commit_dir)
+    new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     new_snap = table.commit(
         new_files_by_bucket=new_files,
         replaced_buckets=sorted(snap.files.keys()),
@@ -220,7 +220,7 @@ def migrate_column(
     df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
         commit_dir
     )
-    new_files = LakeTable.list_written_files(commit_dir)
+    new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     new_snap = table.commit(
         new_files_by_bucket=new_files,
         replaced_buckets=sorted(snap.files.keys()),

@@ -82,6 +82,7 @@ def _resolve(
     strategy: str = "broadcast",
     fww: bool = False,
     fieldmerge: bool = False,
+    exclude_paths: dict[int, set[str]] | None = None,
 ) -> DataFrame:
     """Order-independent LWW resolution of batch vs target.
 
@@ -97,7 +98,9 @@ def _resolve(
     """
     key = table.key_col
     b = _as_table_rows(deduped, table, op_col, seq_col)
-    target = table.read(spark, buckets=affected, include_internal=True)
+    target = table.read(
+        spark, buckets=affected, include_internal=True, exclude_paths=exclude_paths
+    )
 
     def winner_col(c: str):
         """Value of column ``c`` when the batch row wins a matched key.
@@ -188,8 +191,12 @@ def _resolve(
         ]
     )
 
-    # inserts: batch keys absent from the touched buckets (key-only scan)
-    t_keys = table.read(spark, buckets=affected, include_internal=True).select(key)
+    # inserts: batch keys absent from the touched buckets (key-only
+    # scan; pruned files can't hold a batch key, so skipping them keeps
+    # the anti-join complete)
+    t_keys = table.read(
+        spark, buckets=affected, include_internal=True, exclude_paths=exclude_paths
+    ).select(key)
     inserts = b.join(t_keys, on=key, how="left_anti")
 
     return table.bucket_of(resolved.unionByName(inserts))
@@ -240,7 +247,7 @@ def append_into(
     out.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
         commit_dir
     )
-    new_files = LakeTable.list_written_files(commit_dir)
+    new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     applied = {str(epoch): {"partitions": {}, "events": None}} if epoch is not None else None
     if not new_files and applied is None:
         return -1
@@ -330,8 +337,23 @@ def merge_into(
             F.sum((F.col(op_col) == DELETE_OP).cast("long")).alias("n_del"),
             F.max(seq_col).alias("mx"),
             F.approx_count_distinct(key).alias("nk"),
+            F.min(key).alias("kmin"),
+            F.max(key).alias("kmax"),
         ).collect()
         affected = sorted({int(r["_bucket"]) for r in stats})
+        # per-bucket key span of the batch — drives merge-time file
+        # pruning (free: same shuffle as the counters above)
+        key_bounds: dict[int, tuple] = {}
+        for r in stats:
+            kb = int(r["_bucket"])
+            kmn, kmx = r["kmin"], r["kmax"]
+            cur = key_bounds.get(kb)
+            if kmn is None or kmx is None or (cur is not None and cur[0] is None):
+                key_bounds[kb] = (None, None)
+            elif cur is None:
+                key_bounds[kb] = (kmn, kmx)
+            else:
+                key_bounds[kb] = (min(cur[0], kmn), max(cur[1], kmx))
         res.events_in = int(sum(r["n"] for r in stats))
         res.rows_deleted = int(sum(r["n_del"] for r in stats))
         res.rows_upserted = res.events_in - res.rows_deleted
@@ -448,7 +470,9 @@ def merge_into(
             # write files that may hold several versions of a key — mark
             # them so the read fold never plain-scans them
             new_files = LakeTable.list_written_files(
-                commit_dir, key_unique=already_deduped or how is not None
+                commit_dir,
+                key_unique=already_deduped or how is not None,
+                key_col=key,
             )
             snap = table.commit(
                 new_files_by_bucket=new_files,
@@ -463,6 +487,15 @@ def merge_into(
             )
             res.version = snap.version
             return res
+        # FILE pruning (CoW only): a live file whose recorded key range
+        # misses the batch's per-bucket key span is left out of the
+        # target scan AND kept (unrewritten) in the commit — sound
+        # because a bucket's live files are key-disjoint under CoW, so
+        # a pruned file can hold no matched key and hide no insert.
+        # Biggest win on monotonic-PK feeds, where a fresh batch never
+        # touches old id ranges; uniform random keys prune nothing and
+        # fall back to the full-bucket rewrite.
+        pruned = table.prunable_files(affected, key_bounds)
         if conflict == "reject":
             # conflict = key already live in the target: surface those
             # events instead of applying them; the remainder merges
@@ -471,7 +504,12 @@ def merge_into(
             # commit the target state changes and a lazy plan would
             # recompute a different set.
             live = (
-                table.read(spark, buckets=affected, include_internal=True)
+                table.read(
+                    spark,
+                    buckets=affected,
+                    include_internal=True,
+                    exclude_paths=pruned,
+                )
                 .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
                 .select(key)
             )
@@ -507,6 +545,7 @@ def merge_into(
             strategy,
             fww=fww,
             fieldmerge=conflict == "merge",
+            exclude_paths=pruned,
         )
 
         commit_dir = table.new_commit_dir()
@@ -517,18 +556,35 @@ def merge_into(
         # consolidates stragglers.
         merged.write.partitionBy("_bucket").mode("append").parquet(commit_dir)
 
-        new_files = LakeTable.list_written_files(commit_dir)
+        new_files = LakeTable.list_written_files(commit_dir, key_col=key)
+        if pruned:
+            # file-level replace: rewrite exactly the scanned files,
+            # keep the key-disjoint ones
+            snap_files = table.snapshot().files
+            replace_kw = {
+                "replaced_files": {
+                    b: [
+                        e["path"]
+                        for e in snap_files.get(b, [])
+                        if e["path"] not in pruned.get(b, set())
+                    ]
+                    for b in affected
+                }
+            }
+        else:
+            replace_kw = {"replaced_buckets": affected}
         snap = table.commit(
             new_files_by_bucket=new_files,
-            replaced_buckets=affected,
             applied_update=applied_update,
             summary={
                 "operation": "merge",
                 "epoch": epoch,
                 "keys": res.keys_touched,
                 "buckets": res.buckets_touched,
+                "files_kept": sum(len(v) for v in pruned.values()),
             },
             expect_n_buckets=nb,
+            **replace_kw,
         )
         res.version = snap.version
         return res

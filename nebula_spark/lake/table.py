@@ -360,6 +360,7 @@ class LakeTable:
         *,
         new_files_by_bucket: dict[int, list[str]] | None = None,
         replaced_buckets: Iterable[int] = (),
+        replaced_files: dict[int, Iterable[str]] | None = None,
         new_schema: T.StructType | None = None,
         renames: dict[str, str] | None = None,
         applied_update: dict | None = None,
@@ -372,6 +373,13 @@ class LakeTable:
         """Produce snapshot v+1: keep files of untouched buckets, swap in
         new files for ``replaced_buckets``, optionally bump the schema,
         and merge ``applied_update`` into the commit manifest. Atomic.
+
+        ``replaced_files``: FILE-level replace — {bucket: [paths]} of
+        individual live files this commit rewrote; other files in those
+        buckets survive untouched. This is what lets a key-bounds-pruned
+        merge keep the bucket's disjoint files out of the rewrite
+        entirely. Conflict granularity stays at the bucket level (a
+        concurrent commit touching the same bucket conflicts).
 
         Optimistic concurrency: if another writer created the same
         snapshot version (O_EXCL failure), re-read HEAD and rebase the
@@ -450,18 +458,27 @@ class LakeTable:
         files = {int(b): fs for b, fs in raw["files"].items()}
         for b in replaced_buckets:
             files.pop(int(b), None)
+        for b, dead_paths in (replaced_files or {}).items():
+            dead = set(dead_paths)
+            if int(b) in files:
+                kept = [e for e in files[int(b)] if e["path"] not in dead]
+                if kept:
+                    files[int(b)] = kept
+                else:
+                    files.pop(int(b))
         for b, paths in (new_files_by_bucket or {}).items():
             normalized = []
             for p in paths:
                 if not isinstance(p, tuple):
                     p = (p, 0)
-                # pad to (path, size, min_seq, max_seq, key_unique);
-                # legacy short tuples default to key_unique=True (every
-                # pre-flag write path deduped before writing)
-                p = p + (None, None, True)[len(p) - 2 :]
+                # pad to (path, size, min_seq, max_seq, key_unique,
+                # min_key, max_key); legacy short tuples default to
+                # key_unique=True (every pre-flag write path deduped
+                # before writing) and unknown key bounds
+                p = p + (None, None, True, None, None)[len(p) - 2 :]
                 normalized.append(p)
             entries = []
-            for p, sz, mn, mx, ku in sorted(
+            for p, sz, mn, mx, ku, kmn, kmx in sorted(
                 normalized, key=lambda t: (t[0], t[1])
             ):
                 e = {
@@ -475,6 +492,9 @@ class LakeTable:
                     # stored only when False: absent == key-unique,
                     # keeping old snapshots readable and the JSON small
                     e["key_unique"] = False
+                if kmn is not None and kmx is not None:
+                    e["min_key"] = kmn
+                    e["max_key"] = kmx
                 entries.append(e)
             files.setdefault(int(b), [])
             files[int(b)] = files[int(b)] + entries
@@ -483,7 +503,9 @@ class LakeTable:
         # expire_snapshots delete history in O(changed) instead of
         # re-walking every snapshot's full file listing
         gone: list[str] = []
-        for b in replaced_buckets:
+        for b in {int(x) for x in replaced_buckets} | {
+            int(x) for x in (replaced_files or {})
+        }:
             still = {e["path"] for e in files.get(int(b), [])}
             gone.extend(
                 e["path"]
@@ -581,7 +603,9 @@ class LakeTable:
             # resolved against their prior contents); pure appends
             # (MoR merges, DLQ/bootstrap) commute with any concurrent
             # commit and rebase safely
-            mine = {int(b) for b in replaced_buckets}
+            mine = {int(b) for b in replaced_buckets} | {
+                int(b) for b in (replaced_files or {})
+            }
             if mine:
                 head = self._head_version()
                 for v in range(version, head + 1):
@@ -596,6 +620,7 @@ class LakeTable:
             return self.commit(
                 new_files_by_bucket=new_files_by_bucket,
                 replaced_buckets=replaced_buckets,
+                replaced_files=replaced_files,
                 new_schema=new_schema,
                 renames=renames,  # must survive the rebase, or old files
                 # would read with the renamed column nulled
@@ -655,46 +680,78 @@ class LakeTable:
         return d
 
     @staticmethod
-    def _seq_stats(path: str) -> tuple[int | None, int | None]:
-        """(min,max) of the _seq column from the parquet FOOTER — a
-        driver-side metadata read (no data pages touched), a few ms per
-        file, bounded by files-per-commit. Returns (None, None) when the
-        writer produced no statistics."""
+    def _file_stats(
+        path: str, key_col: str | None = None
+    ) -> tuple[int | None, int | None, object, object]:
+        """(min_seq, max_seq, min_key, max_key) from the parquet
+        FOOTER — a driver-side metadata read (no data pages touched), a
+        few ms per file, bounded by files-per-commit. Missing
+        statistics → None for that pair.
+
+        Key bounds are recorded only for str/int/float values (the
+        JSON-safe, order-comparable types). Parquet writers may
+        TRUNCATE long string stats, but truncation keeps them valid
+        bounds (min is a prefix ≤ the true min; max has its last byte
+        incremented to stay ≥ the true max), so using them for
+        disjointness pruning is always sound."""
         try:
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(path).metadata
-            idx = None
+            idx = {}
             for i in range(md.num_columns):
-                if md.schema.column(i).name == SEQ_COL:
-                    idx = i
-                    break
-            if idx is None:
-                return None, None
-            mn = mx = None
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(idx).statistics
-                if st is None or not st.has_min_max:
+                name = md.schema.column(i).name
+                if name == SEQ_COL or name == key_col:
+                    idx[name] = i
+
+            def col_bounds(name):
+                if name not in idx:
                     return None, None
-                mn = st.min if mn is None else min(mn, st.min)
-                mx = st.max if mx is None else max(mx, st.max)
-            return (
-                int(mn) if mn is not None else None,
-                int(mx) if mx is not None else None,
-            )
+                mn = mx = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx[name]).statistics
+                    if st is None or not st.has_min_max:
+                        return None, None
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                return mn, mx
+
+            smn, smx = col_bounds(SEQ_COL)
+            smn = int(smn) if smn is not None else None
+            smx = int(smx) if smx is not None else None
+            kmn, kmx = col_bounds(key_col) if key_col else (None, None)
+            if not (
+                isinstance(kmn, (str, int, float))
+                and isinstance(kmx, (str, int, float))
+                and not isinstance(kmn, bool)
+            ):
+                kmn = kmx = None
+            return smn, smx, kmn, kmx
         except Exception:
-            return None, None
+            return None, None, None, None
+
+    @staticmethod
+    def _seq_stats(path: str) -> tuple[int | None, int | None]:
+        """Back-compat shim: (min,max) of the _seq column only."""
+        mn, mx, _, _ = LakeTable._file_stats(path)
+        return mn, mx
 
     @staticmethod
     def list_written_files(
         commit_dir: str,
         key_unique: bool = True,
-    ) -> dict[int, list[tuple[str, int, int | None, int | None, bool]]]:
+        key_col: str | None = None,
+    ) -> dict[int, list[tuple]]:
         """Collect parquet files written by ``partitionBy('_bucket')``
         under ``commit_dir`` → {bucket: [(abs path, bytes, min_seq,
-        max_seq, key_unique)]}. The _seq span per file powers
-        metadata-only pruning (incremental reads skip files wholly
-        below a lineage low-water mark without opening them).
+        max_seq, key_unique, min_key, max_key)]}. The _seq span per
+        file powers metadata-only pruning (incremental reads skip
+        files wholly below a lineage low-water mark without opening
+        them); the KEY span (recorded when ``key_col`` is given and
+        the parquet stats exist) powers merge-time file pruning — a
+        CoW merge keeps, unread and unrewritten, any file whose key
+        range provably misses the batch (Iceberg's manifest column
+        bounds). All from the same one footer read per file.
 
         ``key_unique``: whether the writer guarantees at most one row
         version per key inside each file. True for every deduped write
@@ -704,7 +761,7 @@ class LakeTable:
         the raw batch, which may carry several versions of a key in
         one task's output file. The MoR read fold keys its plain-scan
         shortcut on this flag."""
-        out: dict[int, list[tuple[str, int, int | None, int | None, bool]]] = {}
+        out: dict[int, list[tuple]] = {}
         for entry in sorted(os.listdir(commit_dir)):
             if not entry.startswith("_bucket="):
                 continue
@@ -715,10 +772,54 @@ class LakeTable:
                 if not f.endswith(".parquet"):
                     continue
                 p = os.path.join(d, f)
-                mn, mx = LakeTable._seq_stats(p)
-                paths.append((p, os.path.getsize(p), mn, mx, bool(key_unique)))
+                mn, mx, kmn, kmx = LakeTable._file_stats(p, key_col)
+                paths.append(
+                    (p, os.path.getsize(p), mn, mx, bool(key_unique), kmn, kmx)
+                )
             if paths:
                 out[b] = paths
+        return out
+
+    def prunable_files(
+        self,
+        buckets: Iterable[int],
+        key_bounds: dict[int, tuple],
+        version: int | None = None,
+    ) -> dict[int, set[str]]:
+        """Per bucket: the live file paths whose recorded [min_key,
+        max_key] PROVABLY misses ``key_bounds[bucket]`` = (lo, hi) —
+        the batch's key span for that bucket. Driver-side metadata
+        only, O(files in the given buckets). Files without recorded
+        bounds (or buckets without batch bounds) are never pruned.
+
+        Soundness for a CoW merge that keeps these files out of the
+        scan AND the rewrite: a bucket's live files are key-disjoint
+        (every rewrite emits each key once), so a batch key outside a
+        file's range cannot match any of its rows (updates complete)
+        and cannot be missing from the scanned rest (inserts
+        complete). Most effective when keys have locality — the
+        monotonic primary keys of a typical CDC feed — where old
+        generations cover old id ranges a fresh batch never touches."""
+        out: dict[int, set[str]] = {}
+        files = self.snapshot(version).files
+        for b in {int(x) for x in buckets}:
+            lo_hi = key_bounds.get(b)
+            if lo_hi is None or lo_hi[0] is None or lo_hi[1] is None:
+                continue
+            lo, hi = lo_hi
+            pruned = set()
+            for e in files.get(b, []):
+                kmn, kmx = e.get("min_key"), e.get("max_key")
+                try:
+                    if kmn is not None and kmx is not None and (
+                        kmx < lo or kmn > hi
+                    ):
+                        pruned.add(e["path"])
+                except TypeError:
+                    # mixed types (schema drifted): never prune
+                    continue
+            if pruned:
+                out[b] = pruned
         return out
 
     def bucket_bytes(self, buckets: Iterable[int]) -> int:
@@ -740,6 +841,7 @@ class LakeTable:
         version: int | None = None,
         include_internal: bool = False,
         min_seq_exclusive: int | None = None,
+        exclude_paths: dict[int, set[str]] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-travelled),
         aligning every file group to the snapshot's current schema.
@@ -749,6 +851,11 @@ class LakeTable:
         the current one — this is how int→long widening and added
         columns read correctly without rewriting history. The union is
         a metadata-only plan node; Spark still scans in one stage.
+
+        ``exclude_paths``: {bucket: paths} to leave out of the scan —
+        the caller-computed result of :meth:`prunable_files` (a merge
+        skipping key-disjoint files). The caller owns the soundness
+        argument; plain reads never pass it.
 
         ``min_seq_exclusive``: only rows with _seq strictly above this
         floor. Files whose manifest max_seq sits at/below the floor are
@@ -787,10 +894,12 @@ class LakeTable:
         for b, entries in snap.files.items():
             if want is not None and b not in want:
                 continue
+            skip = (exclude_paths or {}).get(int(b), ())
             keep = [
                 e
                 for e in entries
-                if not (
+                if e["path"] not in skip
+                and not (
                     min_seq_exclusive is not None
                     and e.get("max_seq") is not None
                     and e["max_seq"] <= min_seq_exclusive
