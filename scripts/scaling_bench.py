@@ -29,6 +29,9 @@ def _bench(env_extra: dict, result_key: str) -> dict:
     env = dict(
         os.environ,
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        # this script interleaves levels itself; bench.py's own
+        # repetition layer would only multiply the cost
+        BENCH_REPS=os.environ.get("BENCH_REPS", "1"),
         **env_extra,
     )
     out = subprocess.run(
