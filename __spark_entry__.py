@@ -174,6 +174,55 @@ def _replay_generational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("user_id", "value_cents", "ts_us")
 
 
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC serving query: replay to a MoR table, key-CLUSTER it
+    (sort-ordered compaction: each bucket splits into files owning
+    contiguous disjoint key ranges), then LakeTable.lookup a fixed key
+    range — bucket pruning (each key hashes to one bucket) + file
+    pruning (per-file key bounds) + a pushed IN predicate. On the
+    clustered table the lookup must plan as a PLAIN scan (the
+    multi-file fold skip: every file key-unique and bounds-disjoint);
+    the assert turns this row red if that regresses. Oracle: the LWW
+    final state restricted to the same key range."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake.maintenance import compact
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).select(
+        "op_sequence", "op", "user_id", "value_cents", "ts_us"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_pl_")
+    table = LakeTable.create(
+        os.path.join(tmp, "t"),
+        schema,
+        "user_id",
+        n_buckets=8,
+        properties={"merge_mode": "mor"},
+    )
+    half = cl.agg(F.expr("percentile_approx(op_sequence, 0.5)")).collect()[0][0]
+    merge_into(spark, table, cl.filter(F.col("op_sequence") <= half), epoch=0)
+    merge_into(spark, table, cl.filter(F.col("op_sequence") > half), epoch=1)
+    compact(spark, table, cluster_by_key=True, max_file_rows=2000)
+    keys = list(range(0, 200))  # fixed range; absent ids simply miss
+    out = table.lookup(spark, keys)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "Exchange" not in plan, (
+        "clustered MoR lookup must be a plain pruned scan"
+    )
+    return out.select("user_id", "value_cents", "ts_us")
+
+
 def _conflict_query(mode: str):
     """Exercise merge_into's conflict strategies end-to-end on a real
     (temp) lake table: target = latest signup image per user, batch =
@@ -701,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_fww": _conflict_query("first_write_wins"),
         "cdc_replay_rescale": _replay_rescale,
         "cdc_replay_generational": _replay_generational,
+        "cdc_point_lookup": _point_lookup,
         "cdc_mor_fww": _mor_fww,
         "cdc_mor_maponly": _mor_maponly,
         "cdc_multi_table_route": _multi_table_route,
@@ -863,6 +913,12 @@ def oracle_sql() -> dict[str, str]:
             -- range-partitioned generational merges with key-bounds file
             -- pruning are semantically invisible: final state == LWW
             SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
+        """,
+        "cdc_point_lookup": f"""
+            -- bucket/file/row-pruned lookup == final state restricted
+            -- to the requested key range
+            SELECT user_id, value_cents, ts_us FROM ({lww})
+            WHERE op <> 'DELETE' AND user_id BETWEEN 0 AND 199
         """,
         "cdc_multi_table_route": f"""
             -- the route key is a pure function of user_id, so per-table

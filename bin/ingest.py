@@ -222,6 +222,8 @@ def cmd_compact(args) -> dict:
         table,
         purge_tombstone_watermark=watermark,
         purge_all_tombstones=args.purge_all,
+        cluster_by_key=args.cluster_by_key,
+        max_file_rows=args.max_file_rows,
     )
     if args.expire_snapshots:
         out["snapshots_expired_files"] = expire_snapshots(
@@ -234,6 +236,18 @@ def cmd_compact(args) -> dict:
             table, grace_s=args.vacuum_grace_s
         )
     return out
+
+
+def cmd_lookup(args) -> dict:
+    """Point lookup: current rows for the given keys (bucket- and
+    file-pruned; the CDC serving query)."""
+    from nebula_spark.lake import LakeTable
+
+    spark = get_spark("nebula-lookup", parallelism=args.cpus)
+    table = LakeTable.load(args.table)
+    keys = [k for k in args.keys.split(",") if k]
+    rows = table.lookup(spark, keys).collect()
+    return {"rows": [r.asDict() for r in rows], "requested": len(keys)}
 
 
 def cmd_rescale(args) -> dict:
@@ -488,7 +502,17 @@ def main(argv=None):
     # commits / expired history); grace protects in-flight commits
     c.add_argument("--vacuum", action="store_true")
     c.add_argument("--vacuum-grace-s", type=float, default=86400.0)
+    # key-clustered rewrite: sort each bucket by key and roll a file
+    # every N rows → disjoint per-file key ranges (merge pruning keeps
+    # working after compaction; MoR reads stay plain scans)
+    c.add_argument("--cluster-by-key", action="store_true")
+    c.add_argument("--max-file-rows", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    lk = sub.add_parser("lookup")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--keys", required=True, help="comma-separated keys")
+    lk.set_defaults(fn=cmd_lookup)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))

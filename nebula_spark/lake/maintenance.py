@@ -29,9 +29,32 @@ def compact(
     buckets: list[int] | None = None,
     purge_tombstone_watermark: int | None = None,
     purge_all_tombstones: bool = False,
+    cluster_by_key: bool = False,
+    max_file_rows: int | None = None,
 ) -> dict:
     """Rewrite buckets into one file each; optionally purge tombstones.
-    Returns a summary dict. Atomic (one snapshot commit)."""
+    Returns a summary dict. Atomic (one snapshot commit).
+
+    ``cluster_by_key`` + ``max_file_rows``: key-CLUSTERED compaction —
+    Iceberg's sort-ordered RewriteDataFiles instead of its bin-pack.
+    Rows are sorted by the merge key inside each bucket and the writer
+    rolls a new file every ``max_file_rows`` rows, so a big bucket
+    compacts into several files covering contiguous, provably DISJOINT
+    key ranges (each key appears exactly once post-fold, so a roll
+    boundary cannot split a key). Two scale effects at 4096-bucket /
+    multi-GB-bucket tables:
+
+    - CoW merges keep pruning after compaction: the per-file key bounds
+      stay narrow instead of collapsing to the whole bucket's span, so
+      a key-local batch (the monotonic-PK CDC shape) rewrites one
+      right-sized file, not the whole compacted bucket.
+    - MoR reads stay plain scans: the read fold is skipped not just for
+      single-file buckets but for any bucket whose files are all
+      key-unique AND pairwise bounds-disjoint — which is exactly what
+      this writer produces.
+
+    The sort is per shuffle partition (sortWithinPartitions), not a
+    global range exchange: same single shuffle as the unsorted path."""
     t0 = time.time()
     snap = table.snapshot()
     if (
@@ -59,9 +82,17 @@ def compact(
     df = table.bucket_of(df)
 
     commit_dir = table.new_commit_dir()
-    df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
-        commit_dir
-    )
+    df = df.repartition("_bucket")
+    if cluster_by_key:
+        # one task may hold several buckets (hash collision of bucket
+        # ids over shuffle partitions): sort by (_bucket, key) so the
+        # per-bucket row runs stay contiguous under the dynamic
+        # partition writer and every rolled file is a sorted key range
+        df = df.sortWithinPartitions("_bucket", table.key_col)
+    writer = df.write.partitionBy("_bucket").mode("append")
+    if max_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_file_rows))
+    writer.parquet(commit_dir)
     new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     new_snap = table.commit(
         new_files_by_bucket=new_files,

@@ -842,6 +842,7 @@ class LakeTable:
         include_internal: bool = False,
         min_seq_exclusive: int | None = None,
         exclude_paths: dict[int, set[str]] | None = None,
+        key_in: list | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-travelled),
         aligning every file group to the snapshot's current schema.
@@ -921,6 +922,16 @@ class LakeTable:
                 if min_seq_exclusive is not None:
                     # pushed into the parquet scan (row-group stats)
                     df = df.filter(F.col(SEQ_COL) > F.lit(min_seq_exclusive))
+                if key_in is not None:
+                    # point-lookup predicate, applied BEFORE any MoR
+                    # fold (sound: every stored version of a requested
+                    # key passes it) and pushed into the parquet scan
+                    # as an In filter for row-group skipping. The key
+                    # column is never renamed, so the name is stable
+                    # across schema versions.
+                    df = df.filter(
+                        F.col(snap.raw["key_col"]).isin(list(key_in))
+                    )
                 # files written before a declared rename carry the old
                 # column name — map it to the current one so the
                 # renamed column's history survives (the reference's
@@ -946,12 +957,31 @@ class LakeTable:
             out = scan([e for es in selected.values() for e in es])
         else:
             def _plain_ok(es: list[dict]) -> bool:
-                # plain scan only when the bucket is one file AND that
-                # file is provably key-unique — a lone map-only append
-                # still holds multiple versions per key and must fold
-                return len(es) == 1 and all(
-                    e.get("key_unique", True) for e in es
-                )
+                # plain scan when every file is provably key-unique AND
+                # no key can appear in two files: a lone map-only
+                # append still holds multiple versions per key and must
+                # fold; several files may skip the fold only when their
+                # recorded key bounds are pairwise disjoint (what
+                # key-clustered compaction produces — each file owns a
+                # contiguous key range). Equal boundary values mean the
+                # boundary key may sit in both files, so the check is
+                # strict; missing bounds or cross-type bounds are never
+                # assumed disjoint.
+                if not all(e.get("key_unique", True) for e in es):
+                    return False
+                if len(es) == 1:
+                    return True
+                bounds = [(e.get("min_key"), e.get("max_key")) for e in es]
+                if any(mn is None or mx is None for mn, mx in bounds):
+                    return False
+                try:
+                    bounds.sort()
+                    return all(
+                        bounds[i][1] < bounds[i + 1][0]
+                        for i in range(len(bounds) - 1)
+                    )
+                except TypeError:
+                    return False
 
             fold_entries = [
                 e for es in selected.values() if not _plain_ok(es) for e in es
@@ -999,6 +1029,73 @@ class LakeTable:
                     F.col(DELETED_COL).isNull() | ~F.col(DELETED_COL)
                 ).drop(*INTERNAL_COLS)
         return out
+
+    def lookup(
+        self,
+        spark: SparkSession,
+        keys: list,
+        version: int | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Point lookup: the current row (if live) for each requested
+        key — the CDC serving query ("what does row k look like now").
+        Composes three prunings so a lookup on a 100 TB table touches
+        O(len(keys)) files, not the table:
+
+        - bucket pruning: each key hashes to exactly one bucket
+          (computed with the same ``bucket_expr`` the layout uses, via
+          a tiny local job — no scan, collect bounded by len(keys));
+        - file pruning: within a candidate bucket, files whose recorded
+          [min_key, max_key] excludes every requested key for that
+          bucket are skipped without an input split (narrowest after a
+          key-clustered compaction, where each file owns a contiguous
+          key range);
+        - row pruning: the IN predicate is pushed into the surviving
+          parquet scans for row-group skipping, applied before any MoR
+          fold (sound — every stored version of a requested key
+          passes), so the fold aggregates only the requested keys.
+        """
+        if not keys:
+            return self.read(
+                spark, buckets=[], version=version,
+                include_internal=include_internal,
+            )
+        snap = self.snapshot(version)
+        nb = snap.raw["n_buckets"]
+        key_field = next(
+            f for f in snap.schema.fields if f.name == snap.raw["key_col"]
+        )
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([key_field])
+        )
+        assigned = kdf.select(
+            bucket_expr(key_field.name, nb).alias("_b"), F.col(key_field.name)
+        ).collect()
+        keys_by_bucket: dict[int, list] = {}
+        for r in assigned:
+            keys_by_bucket.setdefault(int(r["_b"]), []).append(r[key_field.name])
+        exclude: dict[int, set[str]] = {}
+        for b, bkeys in keys_by_bucket.items():
+            pruned = set()
+            for e in snap.files.get(b, []):
+                kmn, kmx = e.get("min_key"), e.get("max_key")
+                if kmn is None or kmx is None:
+                    continue
+                try:
+                    if all(k < kmn or k > kmx for k in bkeys):
+                        pruned.add(e["path"])
+                except TypeError:
+                    continue
+            if pruned:
+                exclude[b] = pruned
+        return self.read(
+            spark,
+            buckets=sorted(keys_by_bucket),
+            version=version,
+            include_internal=include_internal,
+            exclude_paths=exclude,
+            key_in=list(keys),
+        )
 
     def bucket_of(self, df: DataFrame) -> DataFrame:
         return df.withColumn("_bucket", bucket_expr(self.key_col, self.n_buckets))
