@@ -83,6 +83,7 @@ def _resolve(
     fww: bool = False,
     fieldmerge: bool = False,
     exclude_paths: dict[int, set[str]] | None = None,
+    target_version: int | None = None,
 ) -> DataFrame:
     """Order-independent LWW resolution of batch vs target.
 
@@ -99,7 +100,11 @@ def _resolve(
     key = table.key_col
     b = _as_table_rows(deduped, table, op_col, seq_col)
     target = table.read(
-        spark, buckets=affected, include_internal=True, exclude_paths=exclude_paths
+        spark,
+        buckets=affected,
+        include_internal=True,
+        exclude_paths=exclude_paths,
+        version=target_version,
     )
 
     def winner_col(c: str):
@@ -195,7 +200,11 @@ def _resolve(
     # scan; pruned files can't hold a batch key, so skipping them keeps
     # the anti-join complete)
     t_keys = table.read(
-        spark, buckets=affected, include_internal=True, exclude_paths=exclude_paths
+        spark,
+        buckets=affected,
+        include_internal=True,
+        exclude_paths=exclude_paths,
+        version=target_version,
     ).select(key)
     inserts = b.join(t_keys, on=key, how="left_anti")
 
@@ -495,7 +504,20 @@ def merge_into(
         # Biggest win on monotonic-PK feeds, where a fresh batch never
         # touches old id ranges; uniform random keys prune nothing and
         # fall back to the full-bucket rewrite.
-        pruned = table.prunable_files(affected, key_bounds)
+        #
+        # The whole resolve/prune/replace cycle is pinned to ONE
+        # snapshot version: pruning decisions, the target scans, and
+        # the commit's kept-file list must all describe the same file
+        # set, and with FILE-level replace a concurrent rewrite (e.g.
+        # an external compaction) landing between plan and commit is
+        # NOT content-preserving the way a bucket-level replace is —
+        # the merge output lacks the pruned files' rows, so silently
+        # replacing the compacted file would lose them. base_version
+        # makes that window a clean ConcurrentBucketConflict instead.
+        pin = table.snapshot()
+        pruned = table.prunable_files(
+            affected, key_bounds, version=pin.version
+        )
         if conflict == "reject":
             # conflict = key already live in the target: surface those
             # events instead of applying them; the remainder merges
@@ -509,6 +531,7 @@ def merge_into(
                     buckets=affected,
                     include_internal=True,
                     exclude_paths=pruned,
+                    version=pin.version,
                 )
                 .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
                 .select(key)
@@ -546,6 +569,7 @@ def merge_into(
             fww=fww,
             fieldmerge=conflict == "merge",
             exclude_paths=pruned,
+            target_version=pin.version,
         )
 
         commit_dir = table.new_commit_dir()
@@ -558,18 +582,20 @@ def merge_into(
 
         new_files = LakeTable.list_written_files(commit_dir, key_col=key)
         if pruned:
-            # file-level replace: rewrite exactly the scanned files,
-            # keep the key-disjoint ones
-            snap_files = table.snapshot().files
+            # file-level replace: rewrite exactly the scanned files of
+            # the PINNED snapshot, keep the key-disjoint ones; the
+            # commit's base_version guard turns any intervening commit
+            # into a clean conflict (see the pin comment above)
             replace_kw = {
                 "replaced_files": {
                     b: [
                         e["path"]
-                        for e in snap_files.get(b, [])
+                        for e in pin.files.get(b, [])
                         if e["path"] not in pruned.get(b, set())
                     ]
                     for b in affected
-                }
+                },
+                "base_version": pin.version,
             }
         else:
             replace_kw = {"replaced_buckets": affected}

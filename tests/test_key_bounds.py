@@ -104,6 +104,60 @@ def test_merge_prune_deletes_and_inserts_complete(spark, tmp_path):
     assert got2[dels[0]] == 0 and got2[dels[5]] == -5
 
 
+def test_pruned_merge_conflicts_with_concurrent_compaction(spark, tmp_path):
+    """FILE-level replace is not content-preserving the way a bucket
+    replace is: if a compaction lands between the pruned merge's plan
+    and its commit, silently committing would drop the pruned files'
+    rows (their content lives only in the compacted file the commit
+    would replace). The pinned base_version must turn that window into
+    a clean ConcurrentBucketConflict, and a retry against the new
+    snapshot must converge to the right state."""
+    from nebula_spark.lake.table import ConcurrentBucketConflict
+
+    table = LakeTable.create(str(tmp_path / "t"), _SCHEMA, "k", n_buckets=2)
+    gen0 = [f"k{i:06d}" for i in range(200)]
+    merge_into(spark, table, _batch(spark, gen0, 0), epoch=0)
+    gen1 = [f"k{500000 + i:06d}" for i in range(200)]
+    merge_into(spark, table, _batch(spark, gen1, 1000), epoch=1)
+    oracle = {k: i for i, k in enumerate(gen0)}
+    oracle.update({k: i for i, k in enumerate(gen1)})
+
+    # update batch in the OLD range → gen1 files would be pruned; race
+    # a compaction into the plan-to-commit window by intercepting the
+    # merge's own commit call
+    real_commit = LakeTable.commit
+    state = {"fired": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if (
+            not state["fired"]
+            and (kwargs.get("summary") or {}).get("operation") == "merge"
+        ):
+            state["fired"] = True
+            compact(spark, table)  # lands first; goes through this
+            # wrapper too but fired=True passes it straight through
+        return real_commit(self, *args, **kwargs)
+
+    LakeTable.commit = racing_commit
+    try:
+        upd = _batch(spark, gen0[:10], 2000, val=lambda i: 7000 + i)
+        with pytest.raises(ConcurrentBucketConflict):
+            merge_into(spark, table, upd, epoch=2)
+    finally:
+        LakeTable.commit = real_commit
+
+    # nothing lost: the compacted state is exactly the pre-merge oracle
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got == oracle
+    # the losing epoch was NOT recorded as applied; the retry converges
+    assert not table.epoch_applied(2)
+    upd = _batch(spark, gen0[:10], 2000, val=lambda i: 7000 + i)
+    merge_into(spark, table, upd, epoch=2)
+    oracle.update({k: 7000 + i for i, k in enumerate(gen0[:10])})
+    got2 = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got2 == oracle
+
+
 def test_prunable_files_never_prunes_without_bounds(spark, tmp_path):
     """Entries lacking key bounds (legacy snapshots, exotic key types)
     must never be pruned."""
