@@ -822,6 +822,37 @@ class LakeTable:
                 out[b] = pruned
         return out
 
+    @staticmethod
+    def unclustered_count(entries: list[dict]) -> int:
+        """How many of a bucket's live files sit OUTSIDE the ideal
+        key-clustered layout: missing/untyped key bounds,
+        non-key-unique (map-only appends), or key-range touching/
+        overlapping another live file. Drives the in-stream compaction
+        trigger in cluster mode — a key-clustered bucket legitimately
+        holds many files (one per rolled key range), so counting ALL
+        files would re-fire compaction every batch and churn-rewrite
+        the bucket forever; files already in disjoint sorted ranges
+        need no rewrite and don't count."""
+        loose = 0
+        spans = []
+        for e in entries:
+            mn, mx = e.get("min_key"), e.get("max_key")
+            if mn is None or mx is None or not e.get("key_unique", True):
+                loose += 1
+            else:
+                spans.append((mn, mx))
+        try:
+            spans.sort()
+        except TypeError:  # mixed key types: treat all as loose
+            return loose + len(spans)
+        overlapped = [False] * len(spans)
+        for i in range(1, len(spans)):
+            # touching counts too: a shared boundary key defeats the
+            # MoR multi-file plain-scan shortcut
+            if spans[i][0] <= spans[i - 1][1]:
+                overlapped[i] = overlapped[i - 1] = True
+        return loose + sum(overlapped)
+
     def bucket_bytes(self, buckets: Iterable[int]) -> int:
         """Total stored bytes of the given buckets (from the snapshot) —
         drives the merge-strategy choice."""

@@ -57,6 +57,8 @@ def run_stream(
     retry_backoff_s: float = 1.0,
     auto_compact_files: int | None = None,
     purge_tombstones: bool = False,
+    compact_cluster_by_key: bool = False,
+    compact_max_file_rows: int | None = None,
     adaptive_target_batch_s: float | None = None,
     adaptive_max_trigger: int = 64,
 ) -> dict:
@@ -83,6 +85,16 @@ def run_stream(
     compacted to one file right after the batch commits (the metadata
     check is free: file lists live in the snapshot). This is the
     in-stream analogue of Iceberg's rewrite_data_files maintenance.
+
+    ``compact_cluster_by_key`` + ``compact_max_file_rows``: make those
+    in-stream compactions KEY-CLUSTERED (sort-ordered rewrite, see
+    lake.maintenance.compact) instead of bin-pack. On feeds with key
+    locality (monotonic primary keys) this keeps per-file key bounds
+    narrow ACROSS compactions, so later merges keep pruning
+    key-disjoint files and MoR reads keep their multi-file plain-scan
+    shortcut — without it, each compaction collapses a bucket to one
+    file spanning the whole key range and the first post-compaction
+    merge rewrites all of it again.
 
     ``purge_tombstones``: additionally drop tombstones whose ``_seq``
     sits below the lineage low-water mark during those compactions, so
@@ -183,10 +195,19 @@ def run_stream(
 
             from nebula_spark.lake.maintenance import compact
 
+            # cluster mode counts only files OUTSIDE the ideal sorted
+            # layout — a clustered bucket holds many disjoint files by
+            # design, and recounting them would re-fire the compaction
+            # every batch (see LakeTable.unclustered_count)
+            from nebula_spark.lake.table import LakeTable as _LT
+
+            measure = (
+                _LT.unclustered_count if compact_cluster_by_key else len
+            )
             fat = [
                 b
                 for b, fs in table.snapshot().files.items()
-                if len(fs) > auto_compact_files
+                if measure(fs) > auto_compact_files
             ]
             if fat:
                 purge_wm = None
@@ -207,6 +228,8 @@ def run_stream(
                     table,
                     buckets=fat,
                     purge_tombstone_watermark=purge_wm,
+                    cluster_by_key=compact_cluster_by_key,
+                    max_file_rows=compact_max_file_rows,
                 )
                 metrics["compactions"] = metrics.get("compactions", 0) + 1
         if metrics_path:

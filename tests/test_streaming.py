@@ -237,6 +237,71 @@ def test_stream_auto_compaction_bounds_file_counts(spark, tmp_path):
     assert_equivalent(table.read(spark), oracle)
 
 
+def test_stream_clustered_auto_compaction(spark, tmp_path):
+    """In-stream compaction in CLUSTER mode: compactions produce
+    multiple bounds-disjoint files per bucket (rolled key ranges), the
+    trigger counts only files outside that layout (a clustered bucket
+    must NOT re-fire compaction every batch), and the final state
+    stays oracle-exact."""
+    binlog_dir = str(tmp_path / "binlog")
+    log = gen_binlog(spark, 6000, 100, seed=74)
+    write_binlog_chunks(log, binlog_dir, n_chunks=4, files_per_chunk=1)
+
+    table = LakeTable.create(
+        str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        m = run_stream(
+            spark,
+            table,
+            binlog_dir,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            auto_compact_files=2,
+            compact_cluster_by_key=True,
+            compact_max_file_rows=20,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert m.get("compactions", 0) >= 1
+    snap = table.snapshot()
+    # a clustered bucket may hold MANY files, but the loose count is
+    # what the trigger sees and it must be at/below the threshold + the
+    # files of at most one uncompacted batch tail
+    for fs in snap.files.values():
+        assert LakeTable.unclustered_count(fs) <= 2 + 4
+    oracle = replay_final_state(os.path.join(binlog_dir, "*", "*.parquet"))
+    assert_equivalent(table.read(spark), oracle)
+
+
+def test_unclustered_count_layouts():
+    """Unit: disjoint sorted ranges count 0; touching, overlapping,
+    boundless, and non-key-unique files all count."""
+    d = lambda mn, mx, **kw: {"min_key": mn, "max_key": mx, **kw}
+    assert LakeTable.unclustered_count([]) == 0
+    assert (
+        LakeTable.unclustered_count(
+            [d("a", "c"), d("d", "f"), d("g", "k")]
+        )
+        == 0
+    )
+    # touching boundary (shared key possible) counts both
+    assert LakeTable.unclustered_count([d("a", "c"), d("c", "f")]) == 2
+    # overlap counts both; a third disjoint file stays clean
+    assert (
+        LakeTable.unclustered_count([d("a", "d"), d("c", "f"), d("x", "z")])
+        == 2
+    )
+    # missing bounds / map-only files are always loose
+    assert LakeTable.unclustered_count([{"path": "p"}]) == 1
+    assert (
+        LakeTable.unclustered_count([d("a", "b", key_unique=False)]) == 1
+    )
+    # mixed key types: everything loose (conservative)
+    assert LakeTable.unclustered_count([d(1, 5), d("a", "b")]) == 2
+
+
 def test_dlq_reprocess_roundtrip(spark, tmp_path):
     """The return path of the dead-letter loop: a poison batch is
     quarantined, the operator fixes the cause, reprocess_dlq replays it
