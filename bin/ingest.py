@@ -71,12 +71,16 @@ def _ensure_table(args):
 
     if LakeTable.exists(args.table):
         return LakeTable.load(args.table)
+    props = {"merge_mode": getattr(args, "merge_mode", "cow")}
+    seg = getattr(args, "segment_buckets", None)
+    if seg is not None:
+        props["manifest_segment_buckets"] = seg
     return LakeTable.create(
         args.table,
         SEQUENCE_SCHEMA,
         "doc_id",
         n_buckets=args.buckets,
-        properties={"merge_mode": getattr(args, "merge_mode", "cow")},
+        properties=props,
     )
 
 
@@ -425,6 +429,14 @@ def main(argv=None):
         # mor: merges append deltas (flat write cost, read-time LWW
         # resolution, compact to fold) — Iceberg's write modes
         s.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+        s.add_argument(
+            "--segment-buckets",
+            type=int,
+            default=None,
+            help="segmented manifests: buckets per manifest segment "
+            "(per-commit metadata writes become O(changed buckets); "
+            "recommended at 256+ buckets; default inline)",
+        )
         s.add_argument(
             "--dedup-how",
             default="auto",

@@ -309,6 +309,9 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> int:
             legacy = True
             break
         dead.update(raw.get("removed", []))
+        # segmented manifests: replaced segment JSONs die with their
+        # last referencing snapshot exactly like data files
+        dead.update(raw.get("removed_segments", []))
     if legacy:
         return _expire_snapshots_full_walk(table, keep_last)
     removed = 0
@@ -395,5 +398,25 @@ def vacuum_orphans(table: LakeTable, grace_s: float = 86400.0) -> int:
             try:
                 os.rmdir(dirpath)  # only succeeds when fully emptied
             except OSError:
+                pass
+    # manifest segments: sweep JSONs referenced by no snapshot (the
+    # leftovers of commit attempts that lost their O_EXCL race)
+    seg_dir = os.path.join(meta, "segments")
+    if os.path.isdir(seg_dir):
+        live_segs: set[str] = set()
+        for f in os.listdir(meta):
+            if f.startswith("snap-"):
+                seg = table.snapshot(int(f[5:17])).raw.get("files_segmented")
+                if seg:
+                    live_segs.update(
+                        os.path.abspath(p) for p in seg["segments"].values()
+                    )
+        for fn in os.listdir(seg_dir):
+            p = os.path.abspath(os.path.join(seg_dir, fn))
+            try:
+                if p not in live_segs and os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
+                    removed += 1
+            except FileNotFoundError:
                 pass
     return removed

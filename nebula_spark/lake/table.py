@@ -115,8 +115,49 @@ class Snapshot:
 
     @property
     def files(self) -> dict[int, list[dict]]:
-        """bucket -> [{path, schema_version}]"""
-        return {int(b): fs for b, fs in self.raw["files"].items()}
+        """bucket -> [{path, schema_version}] — loaded from the inline
+        ``files`` map, or (segmented manifests) by reading every
+        segment file once and caching on this instance. Callers must
+        not mutate the returned entry lists."""
+        seg = self.raw.get("files_segmented")
+        if seg is None:
+            return {int(b): fs for b, fs in self.raw["files"].items()}
+        cache = getattr(self, "_files_cache", None)
+        if cache is None:
+            cache = {}
+            for path in seg["segments"].values():
+                with open(path) as f:
+                    for b, fs in json.load(f)["files"].items():
+                        cache[int(b)] = fs
+            self._files_cache = cache
+        return cache
+
+    def files_for(self, buckets: "Iterable[int]") -> dict[int, list[dict]]:
+        """File entries for just the given buckets. On a segmented
+        manifest this opens ONLY the segments covering them —
+        O(touched segments) metadata I/O instead of O(table), which is
+        what keeps a point lookup's metadata cost flat at 4096+
+        buckets. Inline manifests (and an already-cached full load)
+        answer from memory."""
+        seg = self.raw.get("files_segmented")
+        if seg is None or getattr(self, "_files_cache", None) is not None:
+            f = self.files
+            return {int(b): f[int(b)] for b in buckets if int(b) in f}
+        width = int(seg["width"])
+        need: dict[int, list[int]] = {}
+        for b in {int(x) for x in buckets}:
+            need.setdefault(b // width, []).append(b)
+        out: dict[int, list[dict]] = {}
+        for s, bs in need.items():
+            path = seg["segments"].get(str(s))
+            if not path:
+                continue
+            with open(path) as f:
+                content = json.load(f)["files"]
+            for b in bs:
+                if str(b) in content:
+                    out[b] = content[str(b)]
+        return out
 
     @property
     def applied(self) -> dict:
@@ -294,6 +335,14 @@ class LakeTable:
         if any(f.name in INTERNAL_COLS for f in schema.fields):
             raise ValueError(f"schema may not use reserved columns {INTERNAL_COLS}")
         schema = T.StructType(list(schema.fields) + INTERNAL_FIELDS)
+        properties = dict(properties or {})
+        if "manifest_segment_buckets" not in properties:
+            # opt-in default for every table of a process (lets the
+            # whole test suite run segmented): 0/unset = inline
+            env = os.environ.get("NEBULA_SEGMENT_BUCKETS")
+            if env:
+                properties["manifest_segment_buckets"] = int(env)
+        seg_width = int(properties.get("manifest_segment_buckets", 0) or 0)
         t = cls(root)
         os.makedirs(t._meta(), exist_ok=False)
         os.makedirs(os.path.join(t.root, "data"), exist_ok=True)
@@ -307,10 +356,13 @@ class LakeTable:
             "schemas": {"1": schema.jsonValue()},
             "files": {},
             "applied": {},
-            "properties": properties or {},
+            "properties": properties,
             "summary": {"operation": "create"},
             "committed_at": time.time(),
         }
+        if seg_width > 0:
+            del snap["files"]
+            snap["files_segmented"] = {"width": seg_width, "segments": {}}
         t._write_snapshot(0, snap)
         return t
 
@@ -343,13 +395,110 @@ class LakeTable:
         tmp.close()
         os.rename(tmp.name, self._meta(HEAD_FILE))
 
+    def _store_files(
+        self,
+        raw: dict,
+        cur: Snapshot,
+        files: dict[int, list[dict]],
+        changed_buckets: set[int],
+        version: int,
+    ) -> None:
+        """Write the commit's file listing into ``raw`` — inline
+        (``files`` map in the snapshot JSON) or, when the table
+        property ``manifest_segment_buckets`` = W is set, SEGMENTED:
+        buckets are grouped W-per-segment into immutable side JSONs
+        under ``<meta>/segments/`` and the snapshot carries only
+        {segment_id: path}. A commit rewrites ONLY the segments whose
+        buckets changed and reuses the parent's paths for the rest —
+        Iceberg's manifest-reuse. At 4096 buckets × many files, the
+        per-commit metadata write drops from O(all files) to
+        O(changed buckets), and segment-pruned reads
+        (:meth:`Snapshot.files_for`) drop lookup metadata I/O the same
+        way. Segment files are uuid-named so two writers racing to the
+        same version can never clobber each other's referenced
+        segments (the O_EXCL snapshot write decides the winner; the
+        loser's segments become harmless orphans that
+        ``vacuum_orphans`` sweeps). Replaced segment paths are
+        recorded in ``removed_segments`` exactly like data files in
+        ``removed``, which keeps ``expire_snapshots`` O(changed)."""
+        width = int(
+            (raw.get("properties") or {}).get("manifest_segment_buckets", 0)
+            or 0
+        )
+        if width <= 0:
+            raw["files"] = {str(b): fs for b, fs in sorted(files.items())}
+            raw.pop("files_segmented", None)
+            raw.pop("removed_segments", None)
+            return
+        parent_seg = cur.raw.get("files_segmented")
+        parent_map = dict(parent_seg["segments"]) if parent_seg else {}
+        if parent_seg is None or int(parent_seg.get("width", 0)) != width:
+            # first segmented commit (or width changed by hand): every
+            # populated segment is new
+            changed_segs = {b // width for b in files}
+            parent_map = {}
+        else:
+            changed_segs = {b // width for b in changed_buckets}
+        by_seg: dict[int, dict[str, list[dict]]] = {}
+        for b in sorted(files):
+            by_seg.setdefault(b // width, {})[str(b)] = files[b]
+        seg_dir = self._meta("segments")
+        os.makedirs(seg_dir, exist_ok=True)
+        new_map = dict(parent_map)
+        removed_segs = []
+        for s in sorted(changed_segs):
+            old = new_map.pop(str(s), None)
+            if old is not None:
+                removed_segs.append(old)
+            content = by_seg.get(s)
+            if not content:
+                continue  # segment emptied: no new file
+            path = os.path.join(
+                seg_dir,
+                f"seg-{s:06d}-{version:012d}-{uuid.uuid4().hex[:8]}.json",
+            )
+            with open(path, "w") as f:
+                json.dump({"files": content}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            new_map[str(s)] = path
+        raw.pop("files", None)
+        raw["files_segmented"] = {"width": width, "segments": new_map}
+        raw["removed_segments"] = sorted(removed_segs)
+
     def _buckets_changed_by(self, version: int) -> set[int]:
         """Buckets whose file list differs between snapshot ``version``
         and its parent — the conflict footprint of that commit."""
         snap = self.snapshot(version)
         parent_v = snap.raw.get("parent")
-        parent_files = {} if parent_v is None else self.snapshot(parent_v).files
-        changed: set[int] = set()
+        parent = None if parent_v is None else self.snapshot(parent_v)
+        a = snap.raw.get("files_segmented")
+        pb = None if parent is None else parent.raw.get("files_segmented")
+        if a and pb and int(a["width"]) == int(pb["width"]):
+            # segmented fast path: only segments whose PATH differs can
+            # hold changed buckets — O(changed segments) I/O, which is
+            # what keeps rebase conflict checks cheap on wide tables
+            changed: set[int] = set()
+            for s in set(a["segments"]) | set(pb["segments"]):
+                pa, pp = a["segments"].get(s), pb["segments"].get(s)
+                if pa == pp:
+                    continue
+                if pa:
+                    with open(pa) as f:
+                        ca = json.load(f)["files"]
+                else:
+                    ca = {}
+                if pp:
+                    with open(pp) as f:
+                        cp = json.load(f)["files"]
+                else:
+                    cp = {}
+                for k in set(ca) | set(cp):
+                    if ca.get(k) != cp.get(k):
+                        changed.add(int(k))
+            return changed
+        parent_files = {} if parent is None else parent.files
+        changed = set()
         for b in set(snap.files) | set(parent_files):
             if snap.files.get(b) != parent_files.get(b):
                 changed.add(int(b))
@@ -455,7 +604,10 @@ class LakeTable:
                 hist[old] = new
             raw["renames"] = hist
         sv = raw["schema_version"]
-        files = {int(b): fs for b, fs in raw["files"].items()}
+        # works for inline AND segmented manifests; inner lists are
+        # never mutated below (pops and re-bindings only), so sharing
+        # them with the parent snapshot's cache is safe
+        files = dict(cur.files)
         for b in replaced_buckets:
             files.pop(int(b), None)
         for b, dead_paths in (replaced_files or {}).items():
@@ -513,7 +665,12 @@ class LakeTable:
                 if e["path"] not in still
             )
         raw["removed"] = sorted(gone)
-        raw["files"] = {str(b): fs for b, fs in sorted(files.items())}
+        changed_buckets = (
+            {int(b) for b in replaced_buckets}
+            | {int(b) for b in (replaced_files or {})}
+            | {int(b) for b in (new_files_by_bucket or {})}
+        )
+        self._store_files(raw, cur, files, changed_buckets, version)
         if applied_update:
             raw.setdefault("applied", {}).update(applied_update)
         # Bound the manifest: fold old NUMERIC epochs (contiguous from
@@ -801,7 +958,7 @@ class LakeTable:
         monotonic primary keys of a typical CDC feed — where old
         generations cover old id ranges a fresh batch never touches."""
         out: dict[int, set[str]] = {}
-        files = self.snapshot(version).files
+        files = self.snapshot(version).files_for(buckets)
         for b in {int(x) for x in buckets}:
             lo_hi = key_bounds.get(b)
             if lo_hi is None or lo_hi[0] is None or lo_hi[1] is None:
@@ -856,12 +1013,10 @@ class LakeTable:
     def bucket_bytes(self, buckets: Iterable[int]) -> int:
         """Total stored bytes of the given buckets (from the snapshot) —
         drives the merge-strategy choice."""
-        files = self.snapshot().files
-        want = {int(b) for b in buckets}
+        files = self.snapshot().files_for(buckets)
         return sum(
             int(e.get("size", 0))
-            for b, entries in files.items()
-            if b in want
+            for entries in files.values()
             for e in entries
         )
 
@@ -922,8 +1077,11 @@ class LakeTable:
                 "sit below any floor"
             )
         want = None if buckets is None else {int(b) for b in buckets}
+        # bucket-pruned reads open only the manifest segments covering
+        # the wanted buckets (no-op on inline manifests)
+        source = snap.files if want is None else snap.files_for(want)
         selected: dict[int, list[dict]] = {}
-        for b, entries in snap.files.items():
+        for b, entries in source.items():
             if want is not None and b not in want:
                 continue
             skip = (exclude_paths or {}).get(int(b), ())
@@ -1106,9 +1264,10 @@ class LakeTable:
         for r in assigned:
             keys_by_bucket.setdefault(int(r["_b"]), []).append(r[key_field.name])
         exclude: dict[int, set[str]] = {}
+        bucket_files = snap.files_for(keys_by_bucket)
         for b, bkeys in keys_by_bucket.items():
             pruned = set()
-            for e in snap.files.get(b, []):
+            for e in bucket_files.get(b, []):
                 kmn, kmx = e.get("min_key"), e.get("max_key")
                 if kmn is None or kmx is None:
                     continue

@@ -161,7 +161,15 @@ def test_pruned_merge_conflicts_with_concurrent_compaction(spark, tmp_path):
 def test_prunable_files_never_prunes_without_bounds(spark, tmp_path):
     """Entries lacking key bounds (legacy snapshots, exotic key types)
     must never be pruned."""
-    table = LakeTable.create(str(tmp_path / "t"), _SCHEMA, "k", n_buckets=1)
+    # explicitly INLINE manifest (segment width 0): this test edits
+    # raw["files"] to simulate a pre-key-bounds legacy snapshot
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        _SCHEMA,
+        "k",
+        n_buckets=1,
+        properties={"manifest_segment_buckets": 0},
+    )
     merge_into(spark, table, _batch(spark, ["a", "b"], 0), epoch=0)
     # simulate a legacy manifest entry: strip the recorded bounds
     snap = table.snapshot()
