@@ -174,6 +174,56 @@ def _replay_generational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("user_id", "value_cents", "ts_us")
 
 
+def _replay_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay through a SEGMENTED-manifest table (table property
+    ``manifest_segment_buckets``): 64 buckets, 8 buckets per segment.
+    Two broad epochs populate every bucket, then a narrow re-delivery
+    epoch (a handful of user_ids → a handful of buckets) must REUSE —
+    by path, Iceberg's manifest reuse — at least one of the parent
+    snapshot's segment files instead of rewriting all metadata; the
+    assert turns this row red if per-commit metadata cost regresses to
+    O(table). Segmented manifests are semantically invisible, so the
+    final state must equal the plain LWW replay."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).select(
+        "op_sequence", "op", "user_id", "value_cents", "ts_us"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_seg_")
+    table = LakeTable.create(
+        os.path.join(tmp, "t"),
+        schema,
+        "user_id",
+        n_buckets=64,
+        properties={"manifest_segment_buckets": 8},
+    )
+    half = cl.agg(F.expr("percentile_approx(op_sequence, 0.5)")).collect()[0][0]
+    merge_into(spark, table, cl.filter(F.col("op_sequence") <= half), epoch=0)
+    merge_into(spark, table, cl.filter(F.col("op_sequence") > half), epoch=1)
+    parent_segs = dict(table.snapshot().raw["files_segmented"]["segments"])
+    # narrow re-delivery: ≤5 keys → ≤5 of 64 buckets → ≤5 of 8 segments
+    merge_into(spark, table, cl.filter(F.col("user_id") < 5), epoch=2)
+    segs = table.snapshot().raw["files_segmented"]["segments"]
+    reused = sum(1 for s, p in segs.items() if parent_segs.get(s) == p)
+    assert reused >= 1, (
+        f"segmented commit rewrote every manifest segment "
+        f"({len(segs)} total) — manifest reuse regressed"
+    )
+    return table.read(spark).select("user_id", "value_cents", "ts_us")
+
+
 def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC serving query: replay to a MoR table, key-CLUSTER it
     (sort-ordered compaction: each bucket splits into files owning
@@ -750,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conflict_fww": _conflict_query("first_write_wins"),
         "cdc_replay_rescale": _replay_rescale,
         "cdc_replay_generational": _replay_generational,
+        "cdc_replay_segmented": _replay_segmented,
         "cdc_point_lookup": _point_lookup,
         "cdc_mor_fww": _mor_fww,
         "cdc_mor_maponly": _mor_maponly,
@@ -912,6 +963,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_generational": f"""
             -- range-partitioned generational merges with key-bounds file
             -- pruning are semantically invisible: final state == LWW
+            SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
+        """,
+        "cdc_replay_segmented": f"""
+            -- segmented manifests (metadata layout) are semantically
+            -- invisible: final state == plain LWW replay
             SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
         """,
         "cdc_point_lookup": f"""
