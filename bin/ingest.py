@@ -254,6 +254,31 @@ def cmd_lookup(args) -> dict:
     return {"rows": [r.asDict() for r in rows], "requested": len(keys)}
 
 
+def cmd_diff(args) -> dict:
+    """Change data feed between two snapshots: each changed key once,
+    stamped insert/update/delete — what a downstream consumer replays
+    to stay in sync without re-reading the table."""
+    from pyspark.sql import functions as F
+
+    from nebula_spark.io.sources import change_feed
+
+    spark = get_spark("nebula-diff", parallelism=args.cpus)
+    feed = change_feed(
+        spark, args.table, args.from_version, to_version=args.to_version
+    )
+    if args.out:
+        feed.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        return {"out": args.out, "changes": counts}
+    rows = feed.limit(args.limit).collect()
+    return {"rows": [r.asDict() for r in rows]}
+
+
 def cmd_rescale(args) -> dict:
     """Atomic bucket-count change on a live table (partition-spec
     evolution): a table created small re-buckets to the count its size
@@ -525,6 +550,14 @@ def main(argv=None):
     lk.add_argument("--table", required=True)
     lk.add_argument("--keys", required=True, help="comma-separated keys")
     lk.set_defaults(fn=cmd_lookup)
+
+    df = sub.add_parser("diff")
+    df.add_argument("--table", required=True)
+    df.add_argument("--from-version", type=int, required=True)
+    df.add_argument("--to-version", type=int, default=None)
+    df.add_argument("--out", default=None, help="write feed as parquet")
+    df.add_argument("--limit", type=int, default=20)
+    df.set_defaults(fn=cmd_diff)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args)))

@@ -25,7 +25,7 @@ def needs_snapshot(table: LakeTable) -> bool:
     files and no applied-epoch lineage (the reference's 'position lost /
     table empty' condition, cdc.go:350-380)."""
     snap = table.snapshot()
-    return not snap.files and not snap.applied
+    return not snap.has_files and not snap.applied
 
 
 def maybe_bootstrap(

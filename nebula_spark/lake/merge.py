@@ -586,11 +586,12 @@ def merge_into(
             # the PINNED snapshot, keep the key-disjoint ones; the
             # commit's base_version guard turns any intervening commit
             # into a clean conflict (see the pin comment above)
+            pin_files = pin.files_for(affected)  # O(touched segments)
             replace_kw = {
                 "replaced_files": {
                     b: [
                         e["path"]
-                        for e in pin.files.get(b, [])
+                        for e in pin_files.get(b, [])
                         if e["path"] not in pruned.get(b, set())
                     ]
                     for b in affected

@@ -160,6 +160,35 @@ class Snapshot:
         return out
 
     @property
+    def has_files(self) -> bool:
+        """Whether the snapshot references any data file — WITHOUT
+        loading segments (a segment is dropped from the map the moment
+        it holds no buckets, so a non-empty map implies files)."""
+        seg = self.raw.get("files_segmented")
+        if seg is not None:
+            return bool(seg["segments"])
+        return bool(self.raw["files"])
+
+    def covering_segments(self, buckets: "Iterable[int]") -> dict[int, list[dict]]:
+        """ENTIRE content (every bucket, not just the requested ones) of
+        the manifest segments covering ``buckets``. This is commit()'s
+        partial load: a narrow commit must rewrite each changed segment
+        whole, so it needs all of that segment's buckets — but none of
+        any other segment. Returns None-equivalent semantics only for
+        segmented manifests; callers guard on ``files_segmented``."""
+        seg = self.raw["files_segmented"]
+        width = int(seg["width"])
+        out: dict[int, list[dict]] = {}
+        for s in sorted({int(b) // width for b in buckets}):
+            path = seg["segments"].get(str(s))
+            if not path:
+                continue
+            with open(path) as f:
+                for b, fs in json.load(f)["files"].items():
+                    out[int(b)] = fs
+        return out
+
+    @property
     def applied(self) -> dict:
         """epoch(str) -> {"partitions": {pid: max_op_sequence}, "events": n}
         — the RECENT epochs only; numeric epochs at/below
@@ -604,10 +633,40 @@ class LakeTable:
                 hist[old] = new
             raw["renames"] = hist
         sv = raw["schema_version"]
-        # works for inline AND segmented manifests; inner lists are
-        # never mutated below (pops and re-bindings only), so sharing
-        # them with the parent snapshot's cache is safe
-        files = dict(cur.files)
+        changed_buckets = (
+            {int(b) for b in replaced_buckets}
+            | {int(b) for b in (replaced_files or {})}
+            | {int(b) for b in (new_files_by_bucket or {})}
+        )
+        parent_seg = cur.raw.get("files_segmented")
+        seg_width = int(
+            (raw.get("properties") or {}).get("manifest_segment_buckets", 0)
+            or 0
+        )
+        if (
+            parent_seg is not None
+            and int(parent_seg.get("width", 0)) == seg_width
+            and new_n_buckets is None
+        ):
+            # segmented partial load: a narrow commit reads ONLY the
+            # segments covering its touched buckets (each must be
+            # rewritten whole; the rest are reused by path) — metadata
+            # READS stay O(changed buckets), matching the O(changed)
+            # writes. A rescale (new_n_buckets) is a full rewrite and
+            # takes the full load below.
+            files = cur.covering_segments(changed_buckets)
+        else:
+            # inline manifests, manifest-layout changes, and rescales
+            # need the complete listing. Inner lists are never mutated
+            # below (pops and re-bindings only), so sharing them with
+            # the parent snapshot's cache is safe.
+            files = dict(cur.files)
+        # pre-mutation entries of the touched buckets — the base of the
+        # removed-files computation (never re-read cur.files: that
+        # would force a full segment load)
+        parent_entries = {
+            b: list(files.get(b, ())) for b in changed_buckets
+        }
         for b in replaced_buckets:
             files.pop(int(b), None)
         for b, dead_paths in (replaced_files or {}).items():
@@ -661,15 +720,10 @@ class LakeTable:
             still = {e["path"] for e in files.get(int(b), [])}
             gone.extend(
                 e["path"]
-                for e in cur.files.get(int(b), [])
+                for e in parent_entries.get(int(b), [])
                 if e["path"] not in still
             )
         raw["removed"] = sorted(gone)
-        changed_buckets = (
-            {int(b) for b in replaced_buckets}
-            | {int(b) for b in (replaced_files or {})}
-            | {int(b) for b in (new_files_by_bucket or {})}
-        )
         self._store_files(raw, cur, files, changed_buckets, version)
         if applied_update:
             raw.setdefault("applied", {}).update(applied_update)

@@ -316,3 +316,83 @@ def test_expire_snapshots_incremental_o_changed(spark, tmp_path, monkeypatch):
     rows_head = sorted(tuple(r) for r in table.read(spark).collect())
     assert rows_head
     assert table.read(spark, version=boundary).count() > 0
+
+
+def test_change_feed_types_and_netting(spark, tmp_path):
+    """change_feed stamps each changed key insert/update/delete, nets
+    out tombstones with no live pre-image, and treats a re-insert over
+    an old tombstone as an insert."""
+    from pyspark.sql import types as T
+
+    from nebula_spark.io.sources import change_feed
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    table = LakeTable.create(str(tmp_path / "t"), schema, "k", n_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "op_sequence long, op string, k string, v long"
+        )
+
+    # v_base: k1..k3 live, k5 inserted-then-deleted (tombstone, never
+    # reappears), k6 live
+    merge_into(
+        spark,
+        table,
+        batch(
+            [
+                (0, "INSERT", "k1", 1),
+                (1, "INSERT", "k2", 2),
+                (2, "INSERT", "k3", 3),
+                (3, "INSERT", "k6", 6),
+                (4, "INSERT", "k5", 5),
+                (5, "DELETE", "k5", None),
+            ]
+        ),
+        epoch=0,
+    )
+    v_base = table.snapshot().version
+
+    # window: update k2, delete k3, insert k4, re-delete k5 (tombstone
+    # at BOTH ends plus a fresh event — no live pre-image: must net
+    # out), delete k6 then re-insert it (live at both ends: update)
+    merge_into(
+        spark,
+        table,
+        batch(
+            [
+                (10, "UPDATE", "k2", 22),
+                (11, "DELETE", "k3", None),
+                (12, "INSERT", "k4", 4),
+                (13, "DELETE", "k5", None),
+                (14, "DELETE", "k6", None),
+                (15, "INSERT", "k6", 66),
+            ]
+        ),
+        epoch=1,
+    )
+
+    feed = {
+        r["k"]: (r["_change_type"], r["v"])
+        for r in change_feed(spark, str(tmp_path / "t"), v_base).collect()
+    }
+    assert feed == {
+        "k2": ("update", 22),
+        "k3": ("delete", None),
+        "k4": ("insert", 4),
+        "k6": ("update", 66),
+    }
+
+    # re-insert over an OLD tombstone is an insert
+    v2 = table.snapshot().version
+    merge_into(spark, table, batch([(20, "INSERT", "k3", 33)]), epoch=2)
+    feed2 = {
+        r["k"]: (r["_change_type"], r["v"])
+        for r in change_feed(spark, str(tmp_path / "t"), v2).collect()
+    }
+    assert feed2 == {"k3": ("insert", 33)}

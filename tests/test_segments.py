@@ -194,3 +194,30 @@ def test_segmented_mor_and_lookup(spark, tmp_path):
     assert got == oracle
     out = {r["k"]: r["v"] for r in table.lookup(spark, keys[:3] + ["nope"]).collect()}
     assert out == {k: oracle[k] for k in keys[:3]}
+
+
+def test_narrow_commit_never_full_loads_segments(spark, tmp_path, monkeypatch):
+    """commit() on a segmented table must read ONLY the segments
+    covering its touched buckets — O(changed) metadata READS, matching
+    the O(changed) writes. A regression to the full `Snapshot.files`
+    load (O(table) at 4096 buckets) fails this test."""
+    from nebula_spark.lake.table import Snapshot
+
+    table = _seg_table(tmp_path)
+    keys = [f"k{i:05d}" for i in range(400)]
+    merge_into(spark, table, _batch(spark, keys, 0), epoch=0)
+
+    def boom(self):
+        raise AssertionError(
+            "narrow segmented commit triggered a full manifest load"
+        )
+
+    monkeypatch.setattr(Snapshot, "files", property(boom))
+    merge_into(
+        spark, table, _batch(spark, keys[:3], 1000, val=lambda i: -1), epoch=1
+    )
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    oracle = {k: i for i, k in enumerate(keys)}
+    oracle.update({k: -1 for k in keys[:3]})
+    assert got == oracle
