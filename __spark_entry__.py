@@ -224,6 +224,51 @@ def _replay_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select("user_id", "value_cents", "ts_us")
 
 
+def _change_feed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshots (the Delta/Iceberg CDF
+    shape; what the reference forwards to sinks as row events): replay
+    the first half of the changelog, snapshot, replay the rest, then
+    `change_feed(from_version=v0)` — each key whose winning version
+    advanced, once, stamped insert/update/delete; deletes carry the
+    key + nulls; tombstones with no live pre-image net out. The scan
+    is incremental_diff's: changed buckets only, _seq-floor file
+    skipping. Oracle: the LWW states at the two cuts joined in SQL."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nebula_spark.io.sources import change_feed
+    from nebula_spark.lake.merge import merge_into
+    from nebula_spark.lake.table import LakeTable
+
+    cl = _changelog(spark, sf_dir).select(
+        "op_sequence", "op", "user_id", "value_cents", "ts_us"
+    )
+    mm = cl.agg(F.min("op_sequence"), F.max("op_sequence")).collect()[0]
+    half = (mm[0] + mm[1]) // 2  # deterministic, SQL-replicable cut
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("value_cents", T.LongType(), True),
+            T.StructField("ts_us", T.LongType(), True),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="nebula_cdf_")
+    path = os.path.join(tmp, "t")
+    table = LakeTable.create(path, schema, "user_id", n_buckets=8)
+    merge_into(spark, table, cl.filter(F.col("op_sequence") <= half), epoch=0)
+    v0 = table.snapshot().version
+    merge_into(spark, table, cl.filter(F.col("op_sequence") > half), epoch=1)
+    feed = change_feed(spark, path, v0)
+    return feed.select(
+        "user_id",
+        "value_cents",
+        "ts_us",
+        F.col("_seq").alias("seq"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC serving query: replay to a MoR table, key-CLUSTER it
     (sort-ordered compaction: each bucket splits into files owning
@@ -801,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_rescale": _replay_rescale,
         "cdc_replay_generational": _replay_generational,
         "cdc_replay_segmented": _replay_segmented,
+        "cdc_change_feed": _change_feed_query,
         "cdc_point_lookup": _point_lookup,
         "cdc_mor_fww": _mor_fww,
         "cdc_mor_maponly": _mor_maponly,
@@ -969,6 +1015,39 @@ def oracle_sql() -> dict[str, str]:
             -- segmented manifests (metadata layout) are semantically
             -- invisible: final state == plain LWW replay
             SELECT user_id, value_cents, ts_us FROM ({lww}) WHERE op <> 'DELETE'
+        """,
+        "cdc_change_feed": f"""
+            -- CDF between the half-way snapshot and head == the LWW
+            -- states at the two cuts joined: keys whose winning seq
+            -- advanced, typed insert/update/delete, deletes carrying
+            -- nulls, tombstone-to-tombstone netted out
+            WITH cl AS ({_CHANGELOG_SQL}),
+            h AS (SELECT (min(op_sequence) + max(op_sequence)) // 2 AS half FROM cl),
+            s0 AS (
+              SELECT * FROM (
+                SELECT cl.*, row_number() OVER (
+                  PARTITION BY user_id ORDER BY op_sequence DESC) rn
+                FROM cl, h WHERE op_sequence <= h.half
+              ) WHERE rn = 1
+            ),
+            s1 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY op_sequence DESC) rn
+                FROM cl
+              ) WHERE rn = 1
+            )
+            SELECT s1.user_id,
+                   CASE WHEN s1.op = 'DELETE' THEN NULL ELSE s1.value_cents END AS value_cents,
+                   CASE WHEN s1.op = 'DELETE' THEN NULL ELSE s1.ts_us END AS ts_us,
+                   s1.op_sequence AS seq,
+                   CASE WHEN s1.op = 'DELETE' THEN 'delete'
+                        WHEN s0.user_id IS NULL OR s0.op = 'DELETE' THEN 'insert'
+                        ELSE 'update' END AS change_type
+            FROM s1 LEFT JOIN s0 ON s1.user_id = s0.user_id
+            WHERE s1.op_sequence <> coalesce(s0.op_sequence, -1)
+              AND NOT (s1.op = 'DELETE'
+                       AND (s0.user_id IS NULL OR s0.op = 'DELETE'))
         """,
         "cdc_point_lookup": f"""
             -- bucket/file/row-pruned lookup == final state restricted
