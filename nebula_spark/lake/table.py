@@ -371,6 +371,14 @@ class LakeTable:
             env = os.environ.get("NEBULA_SEGMENT_BUCKETS")
             if env:
                 properties["manifest_segment_buckets"] = int(env)
+            elif n_buckets >= 256:
+                # wide tables segment by default: an inline snapshot at
+                # 256+ buckets is rewritten whole per commit (O(table)
+                # metadata — measured 4 MB/commit at 4096 buckets, see
+                # BENCH/BASELINE.md round 5); 64 buckets/segment keeps
+                # the segment map small and narrow commits O(changed).
+                # Pass manifest_segment_buckets=0 to force inline.
+                properties["manifest_segment_buckets"] = 64
         seg_width = int(properties.get("manifest_segment_buckets", 0) or 0)
         t = cls(root)
         os.makedirs(t._meta(), exist_ok=False)

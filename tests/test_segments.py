@@ -221,3 +221,22 @@ def test_narrow_commit_never_full_loads_segments(spark, tmp_path, monkeypatch):
     oracle = {k: i for i, k in enumerate(keys)}
     oracle.update({k: -1 for k in keys[:3]})
     assert got == oracle
+
+
+def test_wide_tables_segment_by_default(spark, tmp_path, monkeypatch):
+    monkeypatch.delenv("NEBULA_SEGMENT_BUCKETS", raising=False)
+    wide = LakeTable.create(str(tmp_path / "w"), _SCHEMA, "k", n_buckets=256)
+    assert wide.snapshot().raw["files_segmented"]["width"] == 64
+    narrow = LakeTable.create(str(tmp_path / "n"), _SCHEMA, "k", n_buckets=64)
+    assert "files_segmented" not in narrow.snapshot().raw
+    forced = LakeTable.create(
+        str(tmp_path / "f"),
+        _SCHEMA,
+        "k",
+        n_buckets=256,
+        properties={"manifest_segment_buckets": 0},
+    )
+    assert "files_segmented" not in forced.snapshot().raw
+    # and the default-segmented wide table round-trips data
+    merge_into(spark, wide, _batch(spark, [f"k{i}" for i in range(50)], 0), epoch=0)
+    assert wide.read(spark).count() == 50
