@@ -143,11 +143,22 @@ def rescale(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> dict:
         commit_dir
     )
     new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
+    new_props = None
+    if (
+        int(new_n_buckets) >= 256
+        and "manifest_segment_buckets" not in (snap.raw.get("properties") or {})
+    ):
+        # growing past the wide-table threshold: adopt segmented
+        # manifests in the same commit — the rescale is a full rewrite
+        # anyway, so the one-time every-segment write is free here
+        # (same default/threshold as LakeTable.create)
+        new_props = {"manifest_segment_buckets": 64}
     new_snap = table.commit(
         new_files_by_bucket=new_files,
         replaced_buckets=sorted(snap.files.keys()),
         new_n_buckets=int(new_n_buckets),
         expect_n_buckets=old_nb,
+        new_properties=new_props,
         # the rewrite was computed from snap — ANY commit landing in
         # between (even a pure append) would be silently erased by this
         # full replace, so the commit is pinned to the planned version

@@ -554,6 +554,7 @@ class LakeTable:
         new_n_buckets: int | None = None,
         expect_n_buckets: int | None = None,
         base_version: int | None = None,
+        new_properties: dict | None = None,
         _retries: int = 3,
     ) -> Snapshot:
         """Produce snapshot v+1: keep files of untouched buckets, swap in
@@ -617,6 +618,12 @@ class LakeTable:
         version = cur.version + 1
         raw["version"] = version
         raw["parent"] = cur.version
+        if new_properties:
+            # merged BEFORE the file store so a manifest-layout change
+            # (manifest_segment_buckets) takes effect in this commit —
+            # _store_files sees the parent/child width mismatch and
+            # rewrites every populated segment once
+            raw.setdefault("properties", {}).update(new_properties)
         if new_n_buckets is not None:
             missing = set(cur.files) - {int(b) for b in replaced_buckets}
             if missing:
@@ -846,6 +853,7 @@ class LakeTable:
                 applied_update=applied_update,
                 summary=summary,
                 expect_n_buckets=expect_n_buckets,
+                new_properties=new_properties,
                 _retries=_retries - 1,
             )
         return Snapshot(version, raw)

@@ -240,3 +240,28 @@ def test_wide_tables_segment_by_default(spark, tmp_path, monkeypatch):
     # and the default-segmented wide table round-trips data
     merge_into(spark, wide, _batch(spark, [f"k{i}" for i in range(50)], 0), epoch=0)
     assert wide.read(spark).count() == 50
+
+
+def test_rescale_past_threshold_adopts_segmented(spark, tmp_path, monkeypatch):
+    """Growing a narrow inline table past 256 buckets switches it to
+    segmented manifests in the same (full-rewrite) rescale commit;
+    state is untouched and later narrow commits reuse segments."""
+    monkeypatch.delenv("NEBULA_SEGMENT_BUCKETS", raising=False)
+    table = LakeTable.create(str(tmp_path / "t"), _SCHEMA, "k", n_buckets=8)
+    keys = [f"k{i:05d}" for i in range(300)]
+    merge_into(spark, table, _batch(spark, keys, 0), epoch=0)
+    assert "files_segmented" not in table.snapshot().raw
+
+    rescale(spark, table, 256)
+    snap = table.snapshot()
+    assert snap.raw["n_buckets"] == 256
+    assert snap.raw["files_segmented"]["width"] == 64
+    assert "files" not in snap.raw
+    got = {r["k"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {k: i for i, k in enumerate(keys)}
+
+    # narrow follow-up commit reuses untouched segments by path
+    before = dict(snap.raw["files_segmented"]["segments"])
+    merge_into(spark, table, _batch(spark, [keys[0]], 1000, val=lambda i: -1), epoch=1)
+    after = dict(table.snapshot().raw["files_segmented"]["segments"])
+    assert any(before.get(s) == p for s, p in after.items())
