@@ -249,3 +249,100 @@ def test_multi_stream_adaptive_trigger(spark, tmp_path):
     for name in ("users", "orders"):
         oracle = replay_final_state(glob, where=f"source_table = '{name}'")
         assert_equivalent(routes[name].table.read(spark), oracle)
+
+
+def test_multi_stream_continuous_processing_time_trigger(spark, tmp_path):
+    """run_multi_stream's continuous path (available_now=False): the
+    fan-out query keeps running on a processing-time trigger, picks up
+    chunks as the producer lands them, survives a stop/restart from the
+    same checkpoint with more data after the restart, and BOTH tables
+    end oracle-exact — the long-lived multi-table deployment shape."""
+    import shutil
+    import time
+
+    staging = str(tmp_path / "staging")
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    log = _multi_binlog(spark, 3000, seed=97)
+    write_binlog_chunks(log, staging, n_chunks=6, files_per_chunk=1)
+    chunks = sorted(
+        (d for d in os.listdir(staging) if d.startswith("_chunk=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+
+    def feed(names):
+        for d in names:
+            shutil.move(os.path.join(staging, d), os.path.join(live, d))
+
+    routes = {
+        name: TableRoute(
+            table=LakeTable.create(
+                str(tmp_path / name), SEQUENCE_SCHEMA, "doc_id", n_buckets=4
+            )
+        )
+        for name in ("users", "orders")
+    }
+
+    def wait_lwm(at_least, deadline_s=120):
+        # both tables see every partition's offsets (the route filter
+        # does not drop partitions), so both LWMs must advance
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            lwms = [r.table.low_water_mark() for r in routes.values()]
+            if all(lwm is not None and lwm >= at_least for lwm in lwms):
+                return lwms
+            time.sleep(0.5)
+        raise AssertionError(f"low_water_marks stalled below {at_least}: {lwms}")
+
+    def stop(query_id):
+        q = next(
+            (qq for qq in spark.streams.active if str(qq.id) == query_id), None
+        )
+        assert q is not None
+        q.stop()
+        q.awaitTermination(60)
+
+    feed(chunks[:3])
+    info = run_multi_stream(
+        spark,
+        routes,
+        live,
+        checkpoint_dir=str(tmp_path / "ck"),
+        schema=log.schema,
+        max_files_per_trigger=1,
+        available_now=False,
+    )
+    assert "query_id" in info
+    try:
+        # routed tables see ~half the events per partition, so a
+        # table's LWM (min over partitions of ITS routed offsets)
+        # trails each chunk boundary by up to a few hundred sequences —
+        # thresholds are progress floors, not boundary equalities
+        wait_lwm(1200)
+        feed(chunks[3:5])
+        wait_lwm(2200)
+    finally:
+        stop(info["query_id"])
+
+    versions = {n: r.table.snapshot().version for n, r in routes.items()}
+    info2 = run_multi_stream(
+        spark,
+        routes,
+        live,
+        checkpoint_dir=str(tmp_path / "ck"),
+        schema=log.schema,
+        max_files_per_trigger=1,
+        available_now=False,
+    )
+    try:
+        feed(chunks[5:])
+        wait_lwm(2700)
+    finally:
+        stop(info2["query_id"])
+
+    glob = os.path.join(live, "*", "*.parquet")
+    for name, route in routes.items():
+        oracle = replay_final_state(glob, where=f"source_table = '{name}'")
+        assert oracle, f"oracle empty for {name}"
+        assert_equivalent(route.table.read(spark), oracle)
+        assert route.table.snapshot().version >= versions[name]
