@@ -317,7 +317,13 @@ def cmd_alter(args) -> dict:
         name, dtype = args.migrate_column.split(":", 1)
         spark = get_spark("nebula-alter", parallelism=args.cpus)
         return migrate_column(spark, table, name, dtype, strict=args.strict)
-    raise SystemExit("alter needs --add-column or --migrate-column")
+    if args.set_segment_buckets is not None:
+        from nebula_spark.lake.maintenance import set_segmentation
+
+        return set_segmentation(table, args.set_segment_buckets)
+    raise SystemExit(
+        "alter needs --add-column, --migrate-column or --set-segment-buckets"
+    )
 
 
 def cmd_reprocess(args) -> dict:
@@ -528,6 +534,9 @@ def main(argv=None):
     al.add_argument("--add-column", default=None, metavar="NAME:TYPE[:DEFAULT]")
     al.add_argument("--migrate-column", default=None, metavar="NAME:TYPE")
     al.add_argument("--strict", action="store_true")
+    # metadata-only manifest-layout switch (0 = inline); one O(table)
+    # metadata write, no data rewrite
+    al.add_argument("--set-segment-buckets", type=int, default=None)
     al.set_defaults(fn=cmd_alter)
 
     c = sub.add_parser("compact")

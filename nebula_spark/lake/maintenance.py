@@ -178,6 +178,37 @@ def rescale(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> dict:
     }
 
 
+def set_segmentation(table: LakeTable, width: int) -> dict:
+    """Switch a live table's manifest layout — inline ↔ segmented, or a
+    new segment width — WITHOUT touching data files: one metadata-only
+    commit whose ``new_properties`` carries the new
+    ``manifest_segment_buckets``; the commit's file store sees the
+    parent/child width mismatch and rewrites every populated segment
+    (or inlines them for width 0) exactly once. The escape hatch for a
+    big table created inline before it grew: adopting segmented
+    manifests costs one O(table) metadata write instead of a rescale's
+    O(table) data rewrite. Concurrency: plain optimistic commit — a
+    racing data commit wins or loses the O_EXCL race like any other;
+    no data is at stake either way."""
+    snap = table.snapshot()
+    cur = int(
+        (snap.raw.get("properties") or {}).get("manifest_segment_buckets", 0)
+        or 0
+    )
+    if cur == int(width):
+        return {"changed": False, "width": cur, "version": snap.version}
+    new_snap = table.commit(
+        new_properties={"manifest_segment_buckets": int(width)},
+        summary={"operation": "set-segmentation", "width": int(width)},
+    )
+    return {
+        "changed": True,
+        "from_width": cur,
+        "width": int(width),
+        "version": new_snap.version,
+    }
+
+
 def migrate_column(
     spark: SparkSession,
     table: LakeTable,

@@ -465,17 +465,29 @@ class LakeTable:
         if width <= 0:
             raw["files"] = {str(b): fs for b, fs in sorted(files.items())}
             raw.pop("files_segmented", None)
-            raw.pop("removed_segments", None)
+            parent_seg0 = cur.raw.get("files_segmented")
+            if parent_seg0:
+                # segmented → inline switch: every parent segment dies
+                # with this commit — record them so expire_snapshots
+                # stays O(changed) (vacuum would catch them anyway)
+                raw["removed_segments"] = sorted(
+                    parent_seg0["segments"].values()
+                )
+            else:
+                raw.pop("removed_segments", None)
             return
         parent_seg = cur.raw.get("files_segmented")
         parent_map = dict(parent_seg["segments"]) if parent_seg else {}
         if parent_seg is None or int(parent_seg.get("width", 0)) != width:
-            # first segmented commit (or width changed by hand): every
-            # populated segment is new
+            # first segmented commit (or a width change): every
+            # populated segment is new, and ALL old-width parent
+            # segments die with this commit
             changed_segs = {b // width for b in files}
+            pre_removed = sorted(parent_map.values())
             parent_map = {}
         else:
             changed_segs = {b // width for b in changed_buckets}
+            pre_removed = []
         by_seg: dict[int, dict[str, list[dict]]] = {}
         for b in sorted(files):
             by_seg.setdefault(b // width, {})[str(b)] = files[b]
@@ -501,7 +513,7 @@ class LakeTable:
             new_map[str(s)] = path
         raw.pop("files", None)
         raw["files_segmented"] = {"width": width, "segments": new_map}
-        raw["removed_segments"] = sorted(removed_segs)
+        raw["removed_segments"] = sorted(removed_segs + pre_removed)
 
     def _buckets_changed_by(self, version: int) -> set[int]:
         """Buckets whose file list differs between snapshot ``version``

@@ -265,3 +265,48 @@ def test_rescale_past_threshold_adopts_segmented(spark, tmp_path, monkeypatch):
     merge_into(spark, table, _batch(spark, [keys[0]], 1000, val=lambda i: -1), epoch=1)
     after = dict(table.snapshot().raw["files_segmented"]["segments"])
     assert any(before.get(s) == p for s, p in after.items())
+
+
+def test_set_segmentation_roundtrip(spark, tmp_path):
+    """Metadata-only layout switches: inline → segmented → new width →
+    inline, state identical throughout, no data file touched, dead
+    segments recorded for O(changed) expiry."""
+    from nebula_spark.lake.maintenance import set_segmentation
+
+    table = LakeTable.create(
+        str(tmp_path / "t"),
+        _SCHEMA,
+        "k",
+        n_buckets=16,
+        properties={"manifest_segment_buckets": 0},
+    )
+    keys = [f"k{i:05d}" for i in range(300)]
+    merge_into(spark, table, _batch(spark, keys, 0), epoch=0)
+    oracle = {k: i for i, k in enumerate(keys)}
+    data_paths = {
+        e["path"] for fs in table.snapshot().files.values() for e in fs
+    }
+
+    r = set_segmentation(table, 4)
+    assert r["changed"] and table.snapshot().raw["files_segmented"]["width"] == 4
+    assert {r_["k"]: r_["v"] for r_ in table.read(spark).collect()} == oracle
+
+    r = set_segmentation(table, 8)  # width change rewrites segments once
+    segs8 = table.snapshot().raw["files_segmented"]
+    assert int(segs8["width"]) == 8
+    assert table.snapshot().raw["removed_segments"]  # old width-4 files die
+    assert {r_["k"]: r_["v"] for r_ in table.read(spark).collect()} == oracle
+
+    r = set_segmentation(table, 0)  # back to inline
+    snap = table.snapshot()
+    assert "files_segmented" not in snap.raw and "files" in snap.raw
+    assert sorted(snap.raw["removed_segments"]) == sorted(segs8["segments"].values())
+    assert {r_["k"]: r_["v"] for r_ in table.read(spark).collect()} == oracle
+    # no data file was rewritten by any of the three switches
+    assert {e["path"] for fs in snap.files.values() for e in fs} == data_paths
+    # and a no-op returns unchanged
+    assert set_segmentation(table, 0) == {
+        "changed": False,
+        "width": 0,
+        "version": snap.version,
+    }
