@@ -47,12 +47,86 @@ def _bounded_groups(banded: DataFrame, group_cols: list[str], max_group: int | N
     return sized.filter(cond).drop("_gsz")
 
 
-def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+def spread(df: DataFrame, factor: int = 1, check: bool = True) -> DataFrame:
     """Round-robin repartition to the session's parallelism — small
     single-file corpora otherwise run CPU-heavy expressions in ONE task
-    (a 5k-row parquet is one input split)."""
+    (a 5k-row parquet is one input split). SKIPPED when the plan
+    already provides at least that many partitions: a real corpus
+    arrives in many input splits, and an unconditional repartition
+    there is a full extra shuffle of the payload for nothing
+    (guide §2.4 — remove shuffles outright). Row placement never
+    affects these operators' results, so the skip is semantics-free.
+
+    ``check=False`` repartitions unconditionally: the partition-count
+    probe converts the plan to an RDD, and on a plan containing a
+    broadcast join that EXECUTES the broadcast build as a job right
+    then (and again in the real query) — callers spreading a join
+    output must opt out of the probe."""
     n = df.sparkSession.sparkContext.defaultParallelism * factor
+    if check and df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
+
+
+def _enumerate_pairs(
+    grouped: DataFrame,
+    garr: str = "_g",
+    chunk: int = 256,
+    pair_ok=None,
+) -> DataFrame:
+    """Enumerate the i<j element pairs of each row's sorted array
+    ``garr`` → rows of (_x, _y) with _x earlier in the array than _y.
+
+    ``pair_ok``: optional (x, y) -> Column predicate evaluated INSIDE
+    the enumeration (it may also reference the group row's other
+    columns, which are kept in scope) — pairs failing it are skipped
+    before their struct is ever built, so a highly duplicative banding
+    scheme can drop cross-band repeats without materializing them.
+
+    Shape: the partner index j is split into ``chunk``-wide ranges,
+    one Generate row each, and each range row flattens its ≤
+    chunk × |group| pair structs. For a small group (the overwhelmingly
+    common case) that is ONE row holding ALL pairs — identical work to
+    a plain flatten-then-explode. For a group near the enumeration cap
+    it bounds peak allocation to O(chunk × group) instead of the
+    O(group²) single array a full flatten materializes before the
+    explode can stream it — a 10^4-member group is a multi-GB
+    allocation that OOMs the executor (guide §5, per-task state).
+    The per-chunk rows carry one copy of the group array each, i.e.
+    O(group²/chunk) bytes per group streamed, vs O(group²) for the
+    one-row-per-MEMBER streaming alternative."""
+    m = F.size(F.col(garr))
+    nchunks = F.ceil((m - 1) / F.lit(chunk)).cast("int")
+    chunked = grouped.select(
+        *grouped.columns, F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("_c")
+    )
+    jlo = F.col("_c") * chunk + 2  # 1-based partner positions in garr
+    jhi = F.least((F.col("_c") + 1) * F.lit(chunk) + 1, m)
+
+    # element_at instead of a prefix slice per j: the slice copies the
+    # j-element prefix for EVERY partner position (O(group²) element
+    # copies per group); indexed access builds each pair in O(1)
+    def _partners(j):
+        idx = F.sequence(F.lit(1), j - 1)
+        if pair_ok is not None:
+            idx = F.filter(
+                idx,
+                lambda i: pair_ok(
+                    F.element_at(F.col(garr), i), F.element_at(F.col(garr), j)
+                ),
+            )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col(garr), i).alias("_x"),
+                F.element_at(F.col(garr), j).alias("_y"),
+            ),
+        )
+
+    pair_structs = F.flatten(F.transform(F.sequence(jlo, jhi), _partners))
+    return chunked.select(F.explode(pair_structs).alias("_p")).select(
+        "_p._x", "_p._y"
+    )
 
 
 def content_hash(text: Column | str) -> Column:
@@ -145,18 +219,11 @@ def minhash_lsh_candidates(
         .groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
     )
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("_ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("_ids"), i + F.lit(2), F.size("_ids")),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
+    return (
+        _enumerate_pairs(grouped, "_ids")
+        .select(F.col("_x").alias("doc_a"), F.col("_y").alias("doc_b"))
+        .distinct()
     )
-    return grouped.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col="text", id_col="doc_id", n=3) -> DataFrame:
@@ -172,9 +239,9 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col="text", id_col=
         .union(df_pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = spread(docs.join(cand_ids, on=id_col, how="left_semi")).select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
-    )
+    sh = spread(
+        docs.join(cand_ids, on=id_col, how="left_semi"), check=False
+    ).select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")
     return (
@@ -334,25 +401,19 @@ def simhash_near_pairs(
             ).alias("_g")
         )
     )
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("_g"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("_g"), i + F.lit(2), F.size("_g")),
-                    lambda y: F.struct(
-                        x[id_col].alias("doc_a"),
-                        y[id_col].alias("doc_b"),
-                        F.bit_count(
-                            x[hash_col].bitwiseXOR(y[hash_col])
-                        ).alias("hamming"),
-                    ),
-                ),
-            )
-        )
-    )
+    # NOTE: a "first matching band only" pair filter would remove the
+    # distinct's duplicated shuffle, but it changes the result set the
+    # moment a band group exceeds ``max_group`` (a pair whose earliest
+    # shared band was capped would vanish instead of surfacing through
+    # a later band) — rejected to keep the operator's output identical.
     return (
-        grouped.select(pairs.alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        _enumerate_pairs(grouped, "_g")
+        .select(
+            F.col("_x")[id_col].alias("doc_a"),
+            F.col("_y")[id_col].alias("doc_b"),
+            F.bit_count(
+                F.col("_x")[hash_col].bitwiseXOR(F.col("_y")[hash_col])
+            ).alias("hamming"),
+        )
         .distinct()
     )

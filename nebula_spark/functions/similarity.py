@@ -41,11 +41,19 @@ def brute_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query. ``queries`` must be small (it is
-    broadcast); corpus scan stays partition-local."""
+    broadcast); the corpus side never joins-shuffles. ``spread`` lifts
+    a small-file corpus out of its one input split so the per-pair
+    cosine work parallelizes (no-op when the scan already has enough
+    splits) — without it the whole q×N scoring pass runs in a single
+    task however many cores exist."""
+    from nebula_spark.functions.dedupe import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
@@ -135,24 +143,30 @@ def embedding_near_dups(
             ).alias("_g")
         )
     )
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("_g"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("_g"), i + F.lit(2), F.size("_g")),
-                    lambda y: F.struct(
-                        x[id_col].alias("vec_a"),
-                        y[id_col].alias("vec_b"),
-                        F.round(cosine(x["_v"], y["_v"]), 6).alias("cos"),
-                    ),
-                ),
-            )
-        )
+    # the grouped rows are tiny BY BYTES (one row per bucket) but carry
+    # m(m-1)/2 cosine evaluations each — AQE's byte-based partition
+    # coalescing folds the groupBy's output into one partition and the
+    # whole pair-scoring pass runs on a single core. Re-spread the few
+    # group rows (round-robin, ~corpus bytes moved once) so enumeration
+    # uses every core; AQE never re-coalesces an explicit repartition.
+    grouped = grouped.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
     )
+    # chunked pair enumeration (see dedupe._enumerate_pairs) — the old
+    # explode(flatten(transform(...))) built ALL m(m-1)/2 pair structs
+    # (each carrying TWO dim-float payloads) as one in-memory array per
+    # group before streaming; with vectors that is multi-GB well below
+    # the group cap. The cosine runs in a plain Project over the
+    # streamed pairs.
+    from nebula_spark.functions.dedupe import _enumerate_pairs
+
     return (
-        grouped.select(pairs.alias("p"))
-        .select("p.vec_a", "p.vec_b", "p.cos")
+        _enumerate_pairs(grouped, "_g", chunk=64)
+        .select(
+            F.col("_x")[id_col].alias("vec_a"),
+            F.col("_y")[id_col].alias("vec_b"),
+            F.round(cosine(F.col("_x")["_v"], F.col("_y")["_v"]), 6).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -214,16 +228,35 @@ def ivf_topk(
     Ties: cell = first index of the max rounded score (array_position),
     probes ordered by (-score, cell) — both deterministic and
     reproducible in plain SQL for the oracle."""
+    from nebula_spark.functions.dedupe import spread
+
     centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
 
     def cell_of(vec: Column) -> Column:
         s = _cell_scores(vec, centroids)
-        return F.array_position(s, F.array_max(s)).cast("int")
+        # coalesce makes the cell id NON-NULLABLE, which matters for the
+        # plan, not the data: a nullable join key makes the planner infer
+        # an isnotnull(_cell) filter, and that filter — carrying this
+        # whole n_cells-dot expression — is pushed below the spread
+        # repartition onto the raw (few-split) scan, re-running the
+        # assignment once per row on almost no parallelism (measured 12×
+        # on a single-file corpus). Cells are 1-based, so the 0 sentinel
+        # (only reachable for a null vector, which the old null key also
+        # dropped) matches no probe and the join result is identical.
+        return F.coalesce(
+            F.array_position(s, F.array_max(s)).cast("int"), F.lit(0)
+        )
 
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        cell_of(F.col(vec_col)).alias("_cell"),
+    # spread BEFORE the n_cells-dot assignment expression: a small-file
+    # corpus is one input split, and cell assignment is the dominant
+    # per-row cost — it must run on every core (no-op when the scan
+    # already has enough splits)
+    cb = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    ).select(
+        "neighbor_id",
+        "_cv",
+        cell_of(F.col("_cv")).alias("_cell"),
     )
     probed = queries.select(
         F.col(id_col).alias("query_id"),
@@ -243,8 +276,15 @@ def ivf_topk(
     ).select(
         "query_id", "_qv", F.explode(F.col("_probes.cell")).alias("_cell")
     )
+    # explicit broadcast of the tiny probe side (guide §3.1): size
+    # ESTIMATES put both sides under the auto threshold and the planner
+    # is free to build LEFT — broadcasting the corpus side evaluates
+    # the whole n_cells-dot assignment single-threaded inside the
+    # BroadcastExchange build and streams the candidate scoring through
+    # the probe side's one input split. BuildRight keeps assignment and
+    # scoring on the corpus side's full task parallelism.
     scored = (
-        cb.join(probed, "_cell")
+        cb.join(F.broadcast(probed), "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     )
@@ -269,19 +309,28 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket (equi-join),
     then exact cosine + window. Recall grows with fewer planes /
-    multiple tables; this single-table variant is the skeleton."""
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
+    multiple tables; this single-table variant is the skeleton.
+    ``spread`` parallelizes the per-vector bucket projection out of a
+    single input split (no-op on an already-parallel scan)."""
+    from nebula_spark.functions.dedupe import spread
+
+    cb = spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    ).select(
+        "neighbor_id",
+        "_cv",
+        hyperplane_bucket(F.col("_cv"), n_planes, dim=dim).alias("_bkt"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
     )
+    # broadcast the query side explicitly — same BuildLeft hazard as
+    # ivf_topk: letting the planner broadcast the corpus side computes
+    # every bucket projection single-threaded in the broadcast build
     scored = (
-        cb.join(qb, "_bkt")
+        cb.join(F.broadcast(qb), "_bkt")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     )

@@ -201,9 +201,11 @@ def test_mor_read_fold_is_partial_aggregated_and_pruned(spark, tmp_path):
 def test_embedding_near_dups_single_shuffle_no_join(spark):
     """The rewrite must keep the single-shuffle group shape: no join
     operator anywhere (the old self-join scanned the corpus twice and
-    recomputed the hyperplane bucket on both sides), and exactly TWO
-    exchanges total — spread()'s round-robin plus the one hash exchange
-    the window count and groupBy share."""
+    recomputed the hyperplane bucket on both sides), and at most TWO
+    exchanges total — spread()'s round-robin (now conditional: skipped
+    when the input is already parallel enough, as this range() input
+    is) plus the one hash exchange the window count and groupBy
+    share."""
     from nebula_spark.functions.similarity import embedding_near_dups
 
     emb = spark.range(200).select(
@@ -212,7 +214,9 @@ def test_embedding_near_dups_single_shuffle_no_join(spark):
     )
     plan = _plan(embedding_near_dups(emb, threshold=0.3))
     assert "Join" not in plan and "CartesianProduct" not in plan
-    assert plan.count("Exchange") == 2
+    # ≤3: optional spread round-robin + the group hash exchange + the
+    # post-group round-robin that spreads pair enumeration across cores
+    assert 1 <= plan.count("Exchange") <= 3
 
 
 def test_pair_enumeration_group_cap(spark):
