@@ -54,6 +54,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the rows of a small-file scan across the session's
+    cores BEFORE the per-row heavy expressions are projected (a compact
+    parquet is one input split, so regex/tokenize/Arrow work would
+    otherwise run in a single task). No-op when the scan is already
+    parallel; never changes any query's result — every consumer below
+    is row-wise or partitioning-agnostic by construction."""
+    from nebula_spark.functions.dedupe import spread
+
+    return spread(df)
+
+
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → CDC change feed (SURVEY §1.2 event model)."""
     ev = _t(spark, sf_dir, "events")
@@ -601,7 +613,7 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count("text").alias("n_words"),
@@ -616,7 +628,7 @@ def _derived_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths: deterministic, SQL-twinnable token payloads."""
     from nebula_spark.functions.text import words
 
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(words("text"), lambda w: F.length(w)).alias("tokens"),
     )
@@ -733,7 +745,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebula_spark.functions.text import words
     from nebula_spark.functions.tokens import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(words("text"), lambda w: F.length(w)).alias("tokens"),
     )
@@ -756,7 +768,7 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes both engines can derive."""
     from nebula_spark.functions.multimodal import extract_features
 
-    media = _t(spark, sf_dir, "documents").select(
+    media = _spread(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.when(F.length("text") % 2 == 0, F.lit("image"))
         .otherwise(F.lit("audio"))
@@ -812,7 +824,7 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebula_spark.functions.text import words
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(words(F.lower(F.col("text")))).alias("word"))
         .groupBy("word")
@@ -824,7 +836,7 @@ def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nebula_spark.functions.text import quality_score
 
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", quality_score("text").alias("quality")
     )
 

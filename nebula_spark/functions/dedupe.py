@@ -136,7 +136,10 @@ def content_hash(text: Column | str) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative per identical (normalized) text."""
+    """Keep the min-id representative per identical (normalized) text.
+    (No spread here: measured — the round-robin exchange of the text
+    payload costs more than the single-task normalize+md5 saves; the
+    groupBy's own exchange already parallelizes the aggregation.)"""
     return (
         df.withColumn("_h", content_hash(text_col))
         .groupBy("_h")

@@ -113,7 +113,15 @@ def pack_sequences(
     id_type = sized.schema[id_col].dataType
     if isinstance(id_type, T.NumericType):
         probs = [i / n_parts for i in range(1, n_parts)]
-        splits = sorted(set(sized.stat.approxQuantile(id_col, probs, 0.001)))
+        # quantiles over the RAW id column, unfiltered: boundary
+        # placement never affects the output (any contiguous id-range
+        # split reconstructs the same global prefix sum — see the
+        # docstring invariant), so the boundary job does not need the
+        # length filter. Dropping it prunes the scan to the id column
+        # alone — the old form filtered on _len, which forced a full
+        # tokenize pass (the token column is usually a derived
+        # expression) just to steer balance.
+        splits = sorted(set(df.select(id_col).stat.approxQuantile(id_col, probs, 0.001)))
         bound_lits = [F.lit(float(b)) for b in splits]
         id_cmp = F.col(id_col).cast("double")
     else:

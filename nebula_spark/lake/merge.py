@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -50,6 +51,35 @@ from nebula_spark.lake.table import (
 )
 
 DELETE_OP = "DELETE"
+
+
+@contextmanager
+def _bucket_aligned_shuffle(spark: SparkSession, n_buckets: int):
+    """Run a merge's jobs with shuffle width == the table's bucket
+    count (Iceberg's ``write.distribution-mode=hash``): ``bucket_expr``
+    is pmod over the SAME Murmur3 hash HashPartitioning uses, so with
+    the widths equal every shuffle output partition holds exactly ONE
+    bucket — each write task streams one bucket directory, producing
+    one well-sized file per bucket per commit instead of
+    (shuffle.partitions / n_buckets) fragments, and the dedup/fold/join
+    exchanges all land directly on the write layout (no residual
+    repartition, fewer+larger shuffle blocks, guide §2.2). This is
+    sized by the TABLE's declared layout (4096+ buckets at 100 TB), not
+    by the local core count, and AQE's partition coalescing still
+    merges undersized partitions when a small batch meets a wide
+    table. ``NEBULA_SHUFFLE_PARTITIONS`` (the scaling-run pin: N and 4N
+    cores must shuffle identically) takes precedence when set."""
+    key = "spark.sql.shuffle.partitions"
+    if os.environ.get("NEBULA_SHUFFLE_PARTITIONS"):
+        yield
+        return
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n_buckets))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
 
 
 def _as_table_rows(batch: DataFrame, table: LakeTable, op_col: str, seq_col: str) -> DataFrame:
@@ -253,9 +283,16 @@ def append_into(
     aligned = align_to_schema(df, table.schema)
     out = table.bucket_of(aligned)
     commit_dir = table.new_commit_dir()
-    out.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
-        commit_dir
-    )
+    # repartition by the KEY into exactly n_buckets partitions: Spark's
+    # HashPartitioning uses the same Murmur3 hash as bucket_expr, so
+    # partition id == bucket id — every write task streams exactly one
+    # bucket directory. The old repartition("_bucket") hashed the
+    # ≤ n_buckets distinct bucket VALUES into the session shuffle width
+    # (guide §2.5, synthetic keys with too few distinct values): ~1/e
+    # of tasks empty, others writing several buckets.
+    out.repartition(nb, F.col(table.key_col)).write.partitionBy("_bucket").mode(
+        "append"
+    ).parquet(commit_dir)
     new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     applied = {str(epoch): {"partitions": {}, "events": None}} if epoch is not None else None
     if not new_files and applied is None:
@@ -334,6 +371,8 @@ def merge_into(
 
     deduped = None
     needs_persist = False
+    _aligned = _bucket_aligned_shuffle(spark, nb)
+    _aligned.__enter__()
     try:
         # job 1 (cheap, column-pruned: key/op/seq/partition only — no
         # dedup, no arrays): touched buckets, event counters, and
@@ -447,6 +486,28 @@ def merge_into(
             # micro-batches keep the one-agg plan (fewest stages).
             big = int(os.environ.get("NEBULA_WINDOW_DEDUP_MIN_EVENTS", 500_000))
             how = "window" if res.events_in >= big else "agg"
+        if (
+            strategy == "unionagg"
+            and table.merge_mode != "mor"  # MoR appends never reach the
+            # unionagg resolve; skipping ITS dedup would silently turn
+            # the merge map-only (more appended bytes, non-key-unique
+            # files, costlier reads)
+            and conflict == "last_write_wins"
+            and how is not None
+            and dedup_how == "auto"
+        ):
+            # the unionagg resolve IS a LWW max-per-key fold over
+            # (target ∪ batch): folding the raw batch directly returns
+            # the same winners as dedup-then-fold (max over a set ==
+            # max over its per-key maxima), so a separate in-batch
+            # dedup just shuffles the full payload one extra time
+            # (guide §2.4 — two operations keyed the same way should
+            # share one exchange; here the second op subsumes the
+            # first). LWW only: the FWW fold keeps target rows but
+            # takes the MAX-seq batch row per key, so FWW still needs
+            # its min-seq in-batch dedup. Explicit dedup_how requests
+            # are honored unchanged.
+            how = None
         deduped = (
             batch
             if already_deduped or how is None
@@ -616,6 +677,7 @@ def merge_into(
         res.version = snap.version
         return res
     finally:
+        _aligned.__exit__(None, None, None)
         if needs_persist and deduped is not None:
             deduped.unpersist()
         res.seconds = time.time() - t0
