@@ -748,8 +748,13 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(words("text"), lambda w: F.length(w)).alias("tokens"),
+        # stored length column (size(transform(x, f)) == size(x), so
+        # this equals size(tokens) without the per-word interpreted
+        # transform): lets pack_sequences' phase-2 totals scan skip the
+        # token materialization entirely (len_col contract)
+        F.size(words("text")).alias("_n_tok"),
     )
-    packs = pack_sequences(docs, context_len=512, eos_token=0)
+    packs = pack_sequences(docs, context_len=512, eos_token=0, len_col="_n_tok")
     # fingerprint the token array (the harness canonicalizer can't sort
     # a list column) — same md5(csv) twin trick as multimodal_features
     return packs.select(
