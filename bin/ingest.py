@@ -247,9 +247,21 @@ def cmd_lookup(args) -> dict:
     file-pruned; the CDC serving query)."""
     from nebula_spark.lake import LakeTable
 
+    from pyspark.sql import types as T
+
     spark = get_spark("nebula-lookup", parallelism=args.cpus)
     table = LakeTable.load(args.table)
     keys = [k for k in args.keys.split(",") if k]
+    # cast the comma-split CLI strings to the table's key type — lookup
+    # types its probe from the key field, and raw strings fail on any
+    # non-string-keyed table ("LongType can not accept object ... str")
+    key_type = next(
+        f.dataType for f in table.schema.fields if f.name == table.key_col
+    )
+    if isinstance(key_type, T.IntegralType):
+        keys = [int(k) for k in keys]
+    elif isinstance(key_type, T.FractionalType):
+        keys = [float(k) for k in keys]
     rows = table.lookup(spark, keys).collect()
     return {"rows": [r.asDict() for r in rows], "requested": len(keys)}
 

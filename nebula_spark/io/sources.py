@@ -244,7 +244,16 @@ def incremental_diff(
         F.col("_old_seq").isNull() | (F.col("_seq") != F.col("_old_seq"))
     )
     if _with_old:
-        return out.drop("_old_seq")
+        # normalize the pre-image flag so NULL means exactly "key absent
+        # at from_version": a stored NULL _deleted (the field is
+        # nullable) on a MATCHED key coalesces to False (live) — without
+        # this, change_feed reads flag-null as key-never-lived and
+        # mislabels/filters such keys
+        return out.withColumn(
+            "_old_deleted",
+            F.when(F.col("_old_seq").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.coalesce(F.col("_old_deleted"), F.lit(False))),
+        ).drop("_old_seq")
     return out.drop("_old_seq", "_old_deleted")
 
 
@@ -280,16 +289,22 @@ def change_feed(
         spark, path, from_version, to_version=to_version, _with_old=True
     )
     # the key lived at from_version iff it had a non-tombstone version
+    # (incremental_diff normalizes _old_deleted: NULL ⟺ key absent).
+    # _deleted coalesces to False like every other consumer in the
+    # engine — a NULL flag is a live row, and the raw column inside
+    # boolean algebra would turn the netting filter into NULL and drop
+    # the row entirely.
     lived = F.col("_old_deleted").isNotNull() & ~F.col("_old_deleted")
+    dead = F.coalesce(F.col("_deleted"), F.lit(False))
     out = diff.withColumn(
         "_change_type",
-        F.when(F.col("_deleted"), F.lit("delete"))
+        F.when(dead, F.lit("delete"))
         .when(~lived, F.lit("insert"))
         .otherwise(F.lit("update")),
     )
     # deletes of keys that never lived at from_version (insert+delete
     # inside the window, or a re-delete over an old tombstone) net to
     # nothing for a downstream consumer
-    out = out.filter(~(F.col("_deleted") & ~lived))
+    out = out.filter(~(dead & ~lived))
     user_cols = [f.name for f in t.user_schema.fields]
     return out.select(*user_cols, "_seq", "_change_type")

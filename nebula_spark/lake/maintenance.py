@@ -403,6 +403,16 @@ def vacuum_orphans(table: LakeTable, grace_s: float = 86400.0) -> int:
     correctness but accumulate forever) and of expired history.
     Iceberg's remove_orphan_files analogue.
 
+    Liveness is O(HEAD + removed-lists), not O(snapshots × files):
+    every file some retained snapshot references is either in HEAD's
+    listing or in the ``removed`` list of the (existing) commit where
+    its last reference died — the same bookkeeping that makes
+    expire_snapshots O(changed). On a segmented table only HEAD's
+    manifest segments are opened; the old implementation loaded every
+    snapshot's full listing (every segment of every snapshot), which
+    is quadratic-ish on a long-unexpired table. Snapshots predating
+    the ``removed`` field fall back to the full walk.
+
     ``grace_s``: only files older than this are touched — an IN-FLIGHT
     commit has already written its files but not yet published its
     snapshot, and deleting them would corrupt it. Keep the grace
@@ -412,13 +422,41 @@ def vacuum_orphans(table: LakeTable, grace_s: float = 86400.0) -> int:
     import time
 
     live: set[str] = set()
+    live_segs: set[str] = set()
     meta = table._meta()
-    for f in os.listdir(meta):
-        if not f.startswith("snap-"):
-            continue
-        v = int(f[5:17])
-        for entries in table.snapshot(v).files.values():
+    versions = sorted(
+        int(f[5:17]) for f in os.listdir(meta) if f.startswith("snap-")
+    )
+    legacy = False
+    for v in versions:
+        raw = table.snapshot(v).raw
+        if v > 0 and "removed" not in raw:
+            legacy = True
+            break
+        live.update(os.path.abspath(p) for p in raw.get("removed", ()))
+        live_segs.update(
+            os.path.abspath(p) for p in raw.get("removed_segments", ())
+        )
+    if legacy:
+        live, live_segs = set(), set()
+        for v in versions:
+            snap = table.snapshot(v)
+            for entries in snap.files.values():
+                live.update(os.path.abspath(e["path"]) for e in entries)
+            seg = snap.raw.get("files_segmented")
+            if seg:
+                live_segs.update(
+                    os.path.abspath(p) for p in seg["segments"].values()
+                )
+    elif versions:
+        head_snap = table.snapshot(versions[-1])
+        for entries in head_snap.files.values():
             live.update(os.path.abspath(e["path"]) for e in entries)
+        seg = head_snap.raw.get("files_segmented")
+        if seg:
+            live_segs.update(
+                os.path.abspath(p) for p in seg["segments"].values()
+            )
     cutoff = time.time() - grace_s
     removed = 0
     data_root = os.path.join(table.root, "data")
@@ -442,17 +480,11 @@ def vacuum_orphans(table: LakeTable, grace_s: float = 86400.0) -> int:
             except OSError:
                 pass
     # manifest segments: sweep JSONs referenced by no snapshot (the
-    # leftovers of commit attempts that lost their O_EXCL race)
+    # leftovers of commit attempts that lost their O_EXCL race) —
+    # live_segs was computed above (HEAD's map + removed_segments, or
+    # the legacy full walk)
     seg_dir = os.path.join(meta, "segments")
     if os.path.isdir(seg_dir):
-        live_segs: set[str] = set()
-        for f in os.listdir(meta):
-            if f.startswith("snap-"):
-                seg = table.snapshot(int(f[5:17])).raw.get("files_segmented")
-                if seg:
-                    live_segs.update(
-                        os.path.abspath(p) for p in seg["segments"].values()
-                    )
         for fn in os.listdir(seg_dir):
             p = os.path.abspath(os.path.join(seg_dir, fn))
             try:

@@ -86,6 +86,86 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+# ---- driver-side Murmur3 x86_32 (Spark's `hash()`, seed 42) ----
+# A point lookup used to spend a whole Spark job (createDataFrame +
+# collect) just to evaluate pmod(hash(key), n) for a handful of keys —
+# job scheduling dominated the serving latency. These mirror Spark's
+# Murmur3_x86_32 bit-for-bit for the key types the engine stores, so
+# bucket assignment is a few microseconds of driver Python and lookup
+# schedules exactly ONE job (the pruned scan). Property-tested against
+# bucket_expr over randomized keys in tests/test_clustered.py.
+_M32 = 0xFFFFFFFF
+
+
+def _mm3_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mm3_mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _mm3_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    return h1 ^ (h1 >> 16)
+
+
+def _mm3_hash_int(value: int, seed: int = 42) -> int:
+    h1 = _mm3_mix_h1(seed & _M32, _mm3_mix_k1(value & _M32))
+    return _mm3_fmix(h1, 4)
+
+
+def _mm3_hash_long(value: int, seed: int = 42) -> int:
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mm3_mix_h1(seed & _M32, _mm3_mix_k1(v & _M32))
+    h1 = _mm3_mix_h1(h1, _mm3_mix_k1((v >> 32) & _M32))
+    return _mm3_fmix(h1, 8)
+
+
+def _mm3_hash_bytes(data: bytes, seed: int = 42) -> int:
+    h1 = seed & _M32
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        h1 = _mm3_mix_h1(h1, _mm3_mix_k1(int.from_bytes(data[i : i + 4], "little")))
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 128:  # Spark reads SIGNED bytes, sign-extended to int
+            b -= 256
+        h1 = _mm3_mix_h1(h1, _mm3_mix_k1(b & _M32))
+    return _mm3_fmix(h1, n)
+
+
+def bucket_of_value(value, dtype: T.DataType, n_buckets: int) -> int | None:
+    """Driver-side twin of ``bucket_expr`` for one key value, or None
+    when the type isn't covered (caller falls back to the Spark job).
+    The SIGNED 32-bit hash result then takes Spark's pmod — Python's
+    ``%`` on a positive modulus is exactly pmod."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.LongType):
+        h = _mm3_hash_long(int(value))
+    elif isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        h = _mm3_hash_int(int(value))
+    elif isinstance(dtype, T.BooleanType):
+        h = _mm3_hash_int(1 if value else 0)
+    elif isinstance(dtype, T.StringType):
+        h = _mm3_hash_bytes(str(value).encode("utf-8"))
+    else:
+        return None
+    if h >= 1 << 31:
+        h -= 1 << 32
+    return h % n_buckets
+
+
 # engine-managed columns stored in data files: the op_sequence that
 # produced each row (LWW version) and the tombstone marker. They make
 # the merge order-independent: a stale event can never regress a newer
@@ -319,7 +399,28 @@ class LakeTable:
         pre, n = m.group(1), int(m.group(2))
         if pre:
             wm = snap.raw.get("applied_watermarks", {}).get(pre)
-            return wm is not None and n <= int(wm)
+            hit = wm is not None and n <= int(wm)
+            if hit and n < int(wm):
+                # the namespace fold has no contiguity rule — it relies
+                # on each namespace having ONE producer with monotonic
+                # suffixes. A suffix strictly below the folded max is
+                # normal only for a crash-redelivery of an OLD epoch;
+                # if the streaming checkpoint was deleted/reset, batch
+                # ids restarted at 0 and this skip silently drops the
+                # redelivered batch's data. Surface it.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "epoch %r skipped via namespace watermark %s<=%s; if "
+                    "the stream's checkpoint was reset (batch ids "
+                    "restarted), this skip loses data — use a fresh "
+                    "epoch namespace (dlq_ns/route) after a checkpoint "
+                    "reset",
+                    s,
+                    n,
+                    int(wm),
+                )
+            return hit
         # absent ≠ -1: a fresh table has no watermark, and the bootstrap
         # epoch IS -1 — the default value must not claim it applied
         wm = snap.raw.get("applied_watermark")
@@ -517,8 +618,17 @@ class LakeTable:
 
     def _buckets_changed_by(self, version: int) -> set[int]:
         """Buckets whose file list differs between snapshot ``version``
-        and its parent — the conflict footprint of that commit."""
+        and its parent — the conflict footprint of that commit.
+
+        Snapshots record their own ``changed_buckets`` at commit time
+        (one JSON field; may over-approximate with touched-but-
+        identical buckets, which only costs a redundant re-check) —
+        the manifest-diff walk below remains as the fallback for
+        snapshots written before the field existed."""
         snap = self.snapshot(version)
+        recorded = snap.raw.get("changed_buckets")
+        if recorded is not None:
+            return {int(b) for b in recorded}
         parent_v = snap.raw.get("parent")
         parent = None if parent_v is None else self.snapshot(parent_v)
         a = snap.raw.get("files_segmented")
@@ -710,10 +820,13 @@ class LakeTable:
                 if not isinstance(p, tuple):
                     p = (p, 0)
                 # pad to (path, size, min_seq, max_seq, key_unique,
-                # min_key, max_key); legacy short tuples default to
-                # key_unique=True (every pre-flag write path deduped
-                # before writing) and unknown key bounds
-                p = p + (None, None, True, None, None)[len(p) - 2 :]
+                # min_key, max_key); short tuples (no current engine
+                # path emits them — list_written_files always records
+                # all seven) default to key_unique=FALSE: forcing the
+                # MoR fold is always sound, whereas assuming uniqueness
+                # for an unknown writer re-opens the round-4 fold-skip
+                # bug for e.g. pre-round-5 map-only appends
+                p = p + (None, None, False, None, None)[len(p) - 2 :]
                 normalized.append(p)
             entries = []
             for p, sz, mn, mx, ku, kmn, kmx in sorted(
@@ -751,6 +864,15 @@ class LakeTable:
                 if e["path"] not in still
             )
         raw["removed"] = sorted(gone)
+        # persist this commit's touched-bucket set: _buckets_changed_by
+        # (rebase conflict checks, incremental_diff catch-up) then reads
+        # ONE field per version instead of diffing manifest segments —
+        # a consumer syncing across a 10^4-commit window used to pay a
+        # segment-file open per changed segment per version before the
+        # first scan task. Touched ⊇ differs-from-parent, and both
+        # consumers are sound under supersets (a false-positive bucket
+        # is re-checked/re-scanned, never skipped).
+        raw["changed_buckets"] = sorted(changed_buckets)
         self._store_files(raw, cur, files, changed_buckets, version)
         if applied_update:
             raw.setdefault("applied", {}).update(applied_update)
@@ -1336,15 +1458,31 @@ class LakeTable:
         key_field = next(
             f for f in snap.schema.fields if f.name == snap.raw["key_col"]
         )
-        kdf = spark.createDataFrame(
-            [(k,) for k in keys], T.StructType([key_field])
-        )
-        assigned = kdf.select(
-            bucket_expr(key_field.name, nb).alias("_b"), F.col(key_field.name)
-        ).collect()
+        # bucket assignment is driver-side Python (bucket_of_value — the
+        # bit-exact Murmur3 twin of bucket_expr): the old
+        # createDataFrame + collect spent a whole Spark job (~0.5 s of
+        # scheduling) to hash len(keys) values, dominating serving
+        # latency. Fallback to the job only for uncovered key types.
         keys_by_bucket: dict[int, list] = {}
-        for r in assigned:
-            keys_by_bucket.setdefault(int(r["_b"]), []).append(r[key_field.name])
+        probe = bucket_of_value(
+            next((k for k in keys if k is not None), None), key_field.dataType, nb
+        )
+        if probe is not None:
+            for k in keys:
+                b = bucket_of_value(k, key_field.dataType, nb)
+                if b is not None:
+                    keys_by_bucket.setdefault(b, []).append(k)
+        else:
+            kdf = spark.createDataFrame(
+                [(k,) for k in keys], T.StructType([key_field])
+            )
+            assigned = kdf.select(
+                bucket_expr(key_field.name, nb).alias("_b"), F.col(key_field.name)
+            ).collect()
+            for r in assigned:
+                keys_by_bucket.setdefault(int(r["_b"]), []).append(
+                    r[key_field.name]
+                )
         exclude: dict[int, set[str]] = {}
         bucket_files = snap.files_for(keys_by_bucket)
         for b, bkeys in keys_by_bucket.items():
