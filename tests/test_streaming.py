@@ -215,10 +215,16 @@ def test_stream_auto_compaction_bounds_file_counts(spark, tmp_path):
     write_binlog_chunks(log, binlog_dir, n_chunks=4, files_per_chunk=1)
 
     table = LakeTable.create(str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2)
-    # many shuffle partitions per bucket → each merge writes several
-    # files per bucket dir (the production condition: shuffle
-    # partitions ≫ buckets); AQE's small-output coalescing would hide
-    # it at this toy size
+    # pin a shuffle width ≫ buckets (NEBULA_SHUFFLE_PARTITIONS disables
+    # the merge's bucket-aligned width) so each merge writes several
+    # files per bucket dir — bucket-aligned merges emit ONE file per
+    # bucket and a plain CoW stream would never fragment; the
+    # fragmentation this test exercises still arises from pruned
+    # (generational) merges and MoR appends. AQE's small-output
+    # coalescing would hide it at this toy size.
+    import os as _os
+
+    _os.environ["NEBULA_SHUFFLE_PARTITIONS"] = "16"
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         m = run_stream(
@@ -230,6 +236,7 @@ def test_stream_auto_compaction_bounds_file_counts(spark, tmp_path):
             auto_compact_files=2,
         )
     finally:
+        del _os.environ["NEBULA_SHUFFLE_PARTITIONS"]
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     assert m.get("compactions", 0) >= 1
     assert all(len(fs) <= 2 for fs in table.snapshot().files.values())
@@ -250,6 +257,13 @@ def test_stream_clustered_auto_compaction(spark, tmp_path):
     table = LakeTable.create(
         str(tmp_path / "t"), SEQUENCE_SCHEMA, "doc_id", n_buckets=2
     )
+    # pin a shuffle width ≫ buckets so each merge fragments its bucket
+    # dirs (bucket-aligned merges emit one file per bucket and would
+    # never trip the trigger at this toy size) — see the note in
+    # test_stream_auto_compaction_bounds_file_counts
+    import os as _os
+
+    _os.environ["NEBULA_SHUFFLE_PARTITIONS"] = "16"
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         m = run_stream(
@@ -263,6 +277,7 @@ def test_stream_clustered_auto_compaction(spark, tmp_path):
             compact_max_file_rows=20,
         )
     finally:
+        del _os.environ["NEBULA_SHUFFLE_PARTITIONS"]
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     assert m.get("compactions", 0) >= 1
     snap = table.snapshot()
