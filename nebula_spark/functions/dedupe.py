@@ -39,6 +39,16 @@ def _bounded_groups(banded: DataFrame, group_cols: list[str], max_group: int | N
     memory. Audit what was skipped with:
         banded.groupBy(*keys).count().filter(f"count > {max_group}")
     """
+    # pin the group exchange's width explicitly: the banded rows are
+    # tiny BY BYTES but the downstream window/collect/pair-enumeration
+    # stages are CPU-heavy, and AQE's byte-based coalescing folds the
+    # whole thing onto one core otherwise. A keyed repartition with an
+    # explicit count satisfies the window's AND the groupBy's required
+    # distribution, so it IS the single exchange this stage always had
+    # — just immune to coalescing (AQE never resizes user-specified
+    # repartitions).
+    n = banded.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(n, *[F.col(c) for c in group_cols])
     w = Window.partitionBy(*group_cols)
     sized = banded.withColumn("_gsz", F.count(F.lit(1)).over(w))
     cond = F.col("_gsz") > 1
@@ -148,13 +158,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """n-word shingles as strings (distinct)."""
-    w = words(F.lower(F.col(text) if isinstance(text, str) else text))
+def shingles_of_words(w: Column, n: int = 3) -> Column:
+    """n-word shingles (distinct) over an ALREADY-PROJECTED words
+    column. Callers must bind the tokenized words to a real column
+    first: referencing the split() expression inside the per-shingle
+    lambda re-evaluates the whole tokenization once per shingle (the
+    interpreted higher-order evaluator has no subexpression reuse) —
+    measured 2× on the shingling pass; a column reference is O(1)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
     )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles as strings (distinct). Prefer projecting
+    ``words(lower(text))`` to a column and calling
+    :func:`shingles_of_words` — see its note."""
+    w = words(F.lower(F.col(text) if isinstance(text, str) else text))
+    return shingles_of_words(w, n)
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
@@ -201,9 +223,15 @@ def minhash_lsh_candidates(
     materialize the whole group in one task's memory here — groups
     above the cap are skipped via a same-shuffle window count (see
     _bounded_groups; None disables)."""
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), n_hashes)
     n_bands = n_hashes // band_size
-    banded = spread(df).select(F.col(id_col), sig.alias("_sig")).select(
+    # two-step projection: words bound to a column BEFORE the
+    # per-shingle lambda (see shingles_of_words) — the single-
+    # expression form re-tokenized the document once per shingle
+    wd = spread(df).select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("_wd")
+    )
+    sig = minhash_signature(shingles_of_words(F.col("_wd"), shingle_n), n_hashes)
+    banded = wd.select(F.col(id_col), sig.alias("_sig")).select(
         id_col,
         F.explode(
             F.array(
@@ -242,9 +270,11 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col="text", id_col=
         .union(df_pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = spread(
-        docs.join(cand_ids, on=id_col, how="left_semi"), check=False
-    ).select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    sh = (
+        spread(docs.join(cand_ids, on=id_col, how="left_semi"), check=False)
+        .select(F.col(id_col), words(F.lower(F.col(text_col))).alias("_wd"))
+        .select(F.col(id_col), shingles_of_words(F.col("_wd"), n).alias("sh"))
+    )
     a = sh.alias("sa")
     b = sh.alias("sb")
     return (

@@ -143,15 +143,9 @@ def embedding_near_dups(
             ).alias("_g")
         )
     )
-    # the grouped rows are tiny BY BYTES (one row per bucket) but carry
-    # m(m-1)/2 cosine evaluations each — AQE's byte-based partition
-    # coalescing folds the groupBy's output into one partition and the
-    # whole pair-scoring pass runs on a single core. Re-spread the few
-    # group rows (round-robin, ~corpus bytes moved once) so enumeration
-    # uses every core; AQE never re-coalesces an explicit repartition.
-    grouped = grouped.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    )
+    # (_bounded_groups pins the group exchange's width, so the
+    # pair-scoring below runs on every core instead of the single
+    # partition AQE's byte-based coalescing used to collapse it to)
     # chunked pair enumeration (see dedupe._enumerate_pairs) — the old
     # explode(flatten(transform(...))) built ALL m(m-1)/2 pair structs
     # (each carrying TWO dim-float payloads) as one in-memory array per
