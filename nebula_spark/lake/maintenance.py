@@ -82,12 +82,17 @@ def compact(
     df = table.bucket_of(df)
 
     commit_dir = table.new_commit_dir()
-    df = df.repartition("_bucket")
+    # repartition by the KEY into exactly n_buckets partitions: Spark's
+    # HashPartitioning shares bucket_expr's Murmur3, so partition id ==
+    # bucket id — one bucket per write task, one (or maxRecordsPerFile-
+    # rolled) file per bucket. Hashing the _bucket VALUE instead lands
+    # several buckets per task and leaves ~1/e of tasks empty
+    # (guide §2.5, synthetic keys with too few distinct values).
+    df = df.repartition(snap.raw["n_buckets"], F.col(table.key_col))
     if cluster_by_key:
-        # one task may hold several buckets (hash collision of bucket
-        # ids over shuffle partitions): sort by (_bucket, key) so the
-        # per-bucket row runs stay contiguous under the dynamic
-        # partition writer and every rolled file is a sorted key range
+        # a task holds exactly one bucket now, but sorting by
+        # (_bucket, key) stays correct if a future layout ever changes
+        # that — every rolled file is a sorted contiguous key range
         df = df.sortWithinPartitions("_bucket", table.key_col)
     writer = df.write.partitionBy("_bucket").mode("append")
     if max_file_rows is not None:
@@ -139,9 +144,11 @@ def rescale(spark: SparkSession, table: LakeTable, new_n_buckets: int) -> dict:
     df = table.read(spark, version=snap.version, include_internal=True)
     df = df.withColumn("_bucket", bucket_expr(table.key_col, int(new_n_buckets)))
     commit_dir = table.new_commit_dir()
-    df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
-        commit_dir
-    )
+    # key-hash repartition at the NEW width: partition id == new bucket
+    # id (see compact) — one write task per new bucket
+    df.repartition(int(new_n_buckets), F.col(table.key_col)).write.partitionBy(
+        "_bucket"
+    ).mode("append").parquet(commit_dir)
     new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     new_props = None
     if (
@@ -290,9 +297,10 @@ def migrate_column(
         ]
     )
     commit_dir = table.new_commit_dir()
-    df.repartition("_bucket").write.partitionBy("_bucket").mode("append").parquet(
-        commit_dir
-    )
+    # one write task per bucket (see compact's note)
+    df.repartition(snap.raw["n_buckets"], F.col(table.key_col)).write.partitionBy(
+        "_bucket"
+    ).mode("append").parquet(commit_dir)
     new_files = LakeTable.list_written_files(commit_dir, key_col=table.key_col)
     new_snap = table.commit(
         new_files_by_bucket=new_files,
