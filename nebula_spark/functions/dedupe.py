@@ -82,16 +82,9 @@ def _enumerate_pairs(
     grouped: DataFrame,
     garr: str = "_g",
     chunk: int = 256,
-    pair_ok=None,
 ) -> DataFrame:
     """Enumerate the i<j element pairs of each row's sorted array
     ``garr`` → rows of (_x, _y) with _x earlier in the array than _y.
-
-    ``pair_ok``: optional (x, y) -> Column predicate evaluated INSIDE
-    the enumeration (it may also reference the group row's other
-    columns, which are kept in scope) — pairs failing it are skipped
-    before their struct is ever built, so a highly duplicative banding
-    scheme can drop cross-band repeats without materializing them.
 
     Shape: the partner index j is split into ``chunk``-wide ranges,
     one Generate row each, and each range row flattens its ≤
@@ -117,16 +110,8 @@ def _enumerate_pairs(
     # j-element prefix for EVERY partner position (O(group²) element
     # copies per group); indexed access builds each pair in O(1)
     def _partners(j):
-        idx = F.sequence(F.lit(1), j - 1)
-        if pair_ok is not None:
-            idx = F.filter(
-                idx,
-                lambda i: pair_ok(
-                    F.element_at(F.col(garr), i), F.element_at(F.col(garr), j)
-                ),
-            )
         return F.transform(
-            idx,
+            F.sequence(F.lit(1), j - 1),
             lambda i: F.struct(
                 F.element_at(F.col(garr), i).alias("_x"),
                 F.element_at(F.col(garr), j).alias("_y"),
