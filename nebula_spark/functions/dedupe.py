@@ -46,10 +46,11 @@ def _bounded_groups(banded: DataFrame, group_cols: list[str], max_group: int | N
     # explicit count satisfies the window's AND the groupBy's required
     # distribution, so it IS the single exchange this stage always had
     # — just immune to coalescing (AQE never resizes user-specified
-    # repartitions). 4× the core count: collision groups are uneven,
-    # and the finer granularity load-balances the per-group
-    # enumeration (measured slightly better than 1× at 4 cores).
-    n = banded.sparkSession.sparkContext.defaultParallelism * 4
+    # repartitions). Width = core count: a 4× factor was tried for
+    # group load-balancing and measured within noise at 4 cores but
+    # visibly worse at 32 (tiny tasks, more per-partition window
+    # overhead for ~100k-row stages).
+    n = banded.sparkSession.sparkContext.defaultParallelism
     banded = banded.repartition(n, *[F.col(c) for c in group_cols])
     w = Window.partitionBy(*group_cols)
     sized = banded.withColumn("_gsz", F.count(F.lit(1)).over(w))
